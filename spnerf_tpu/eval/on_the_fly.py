@@ -1,0 +1,112 @@
+"""On-the-fly HPatches evaluation CLIs (no cached .npz artifacts).
+
+Counterparts of reference evaluations/repeatability_evaluation_non_chached.py
+and descriptor_evaluation_non_cached.py: run the model live over the
+HPatches loader and print repeatability + localization error, or
+homography-estimation correctness + matching score.
+
+    python -m spnerf_tpu.eval.on_the_fly --config-path cfg.yaml \
+        --mode repeatability [--k-points 300] [--distance-thresh 3]
+    python -m spnerf_tpu.eval.on_the_fly --config-path cfg.yaml \
+        --mode descriptors [--k-points 1000] [--correctness-thresh 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spnerf_tpu.data.hpatches import HPatches
+from spnerf_tpu.data.loader import DataLoader
+from spnerf_tpu.eval.descriptor import compute_homography_estimation
+from spnerf_tpu.eval.detector import repeatability_pair
+from spnerf_tpu.models.superpoint import superpoint_inference
+from spnerf_tpu.utils.config import load_config
+
+
+def _build(config):
+    from spnerf_tpu.tasks.train_task import restore_pretrained
+    from spnerf_tpu.utils.factories import get_model
+
+    resize = config["data"]["preprocessing"]["resize"]
+    input_shape = (1, int(resize[0]), int(resize[1]), 1)
+    model, variables = get_model(config["model"], jax.random.PRNGKey(0),
+                                 input_shape)
+    variables, _ = restore_pretrained(config, variables)
+
+    @jax.jit
+    def infer(image):
+        return superpoint_inference(model, variables, image)
+
+    ds = HPatches(config["data"])
+    loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    return infer, loader
+
+
+def run_repeatability(config, k_points=300, distance_thresh=3):
+    infer, loader = _build(config)
+    reps, loc_errors = [], []
+    for batch in loader:
+        out1 = infer(jnp.asarray(batch["image"]))
+        out2 = infer(jnp.asarray(batch["warped_image"]))
+        prob1 = np.asarray(out1["prob_heatmap_nms"][0])
+        prob2 = np.asarray(out2["prob_heatmap_nms"][0])
+        H = np.asarray(batch["homography"][0])
+        rep, _, _ = repeatability_pair(prob1, prob2, H, k_points, distance_thresh)
+        if rep is not None:
+            reps.append(rep)
+    result = {"repeatability": float(np.mean(reps)) if reps else 0.0,
+              "pairs": len(reps)}
+    print(f"repeatability: {result['repeatability']:.4f} over {result['pairs']} pairs")
+    return result
+
+
+def run_descriptors(config, k_points=1000, correctness_thresh=3.0):
+    infer, loader = _build(config)
+    correctness, mscores = [], []
+    for batch in loader:
+        out1 = infer(jnp.asarray(batch["image"]))
+        out2 = infer(jnp.asarray(batch["warped_image"]))
+        est = compute_homography_estimation(
+            np.asarray(out1["prob_heatmap_nms"][0]),
+            np.asarray(out2["prob_heatmap_nms"][0]),
+            np.asarray(out1["desc"][0]),
+            np.asarray(out2["desc"][0]),
+            np.asarray(batch["homography"][0]),
+            k_points, correctness_thresh,
+        )
+        correctness.append(est["correctness"])
+        mscores.append(est["matching_score"])
+    result = {
+        "correctness": float(np.mean(correctness)) if correctness else 0.0,
+        "matching_score": float(np.mean(mscores)) if mscores else 0.0,
+        "pairs": len(correctness),
+    }
+    print(f"correctness: {result['correctness']:.4f}  "
+          f"matching_score: {result['matching_score']:.4f} "
+          f"over {result['pairs']} pairs")
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-path", required=True)
+    p.add_argument("--mode", choices=("repeatability", "descriptors"),
+                   default="repeatability")
+    p.add_argument("--k-points", type=int, default=None)
+    p.add_argument("--distance-thresh", type=int, default=3)
+    p.add_argument("--correctness-thresh", type=float, default=3.0)
+    args = p.parse_args(argv)
+    config = load_config(args.config_path)
+    if args.mode == "repeatability":
+        return run_repeatability(config, args.k_points or 300,
+                                 args.distance_thresh)
+    return run_descriptors(config, args.k_points or 1000,
+                           args.correctness_thresh)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,11 +53,33 @@ class HomographyConfig:
         return cls(**{k: v for k, v in d.items() if k in fields})
 
 
+def _normalizing_transform(pts: jnp.ndarray) -> jnp.ndarray:
+    """Hartley normalization: translate centroid to origin, scale to ~unit.
+
+    Keeps the fp32 DLT solve well-conditioned for pixel-scale inputs.
+    """
+    center = jnp.mean(pts, axis=0)
+    scale = jnp.mean(jnp.abs(pts - center)) + 1e-8
+    inv_s = 1.0 / scale
+    return jnp.array(
+        [[inv_s, 0.0, -center[0] * inv_s],
+         [0.0, inv_s, -center[1] * inv_s],
+         [0.0, 0.0, 1.0]],
+        pts.dtype,
+    )
+
+
 def homography_from_corners(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     """Solve the 3x3 homography H with H @ [x1,y1,1]^T ~ [x2,y2,1]^T.
 
-    pts1, pts2: (4, 2) in (x, y). Equivalent of cv2.getPerspectiveTransform.
+    pts1, pts2: (4, 2) in (x, y). Equivalent of cv2.getPerspectiveTransform,
+    with Hartley-normalized coordinates for fp32 robustness.
     """
+    T1 = _normalizing_transform(pts1)
+    T2 = _normalizing_transform(pts2)
+    pts1 = pts1 @ T1[:2, :2].T + T1[:2, 2]
+    pts2 = pts2 @ T2[:2, :2].T + T2[:2, 2]
+
     x, y = pts1[:, 0], pts1[:, 1]
     u, v = pts2[:, 0], pts2[:, 1]
     zeros = jnp.zeros(4, pts1.dtype)
@@ -67,7 +89,9 @@ def homography_from_corners(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray
     A = jnp.concatenate([ax, ay], axis=0)  # (8, 8)
     b = jnp.concatenate([u, v], axis=0)  # (8,)
     h = jnp.linalg.solve(A, b)
-    return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
+    H_norm = jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ H_norm @ T1
+    return H / H[2, 2]
 
 
 def _truncated_normal(key, shape, scale, bound=2.0):

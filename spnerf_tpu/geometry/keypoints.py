@@ -55,6 +55,7 @@ def top_k_keypoints(prob: jnp.ndarray, k: int, threshold: float = 0.0):
     """
     H, W = prob.shape
     flat = prob.reshape(-1)
+    k = min(k, H * W)
     scores, idx = jax.lax.top_k(flat, k)
     pts = jnp.stack([idx // W, idx % W], axis=-1).astype(jnp.int32)
     valid = scores >= threshold

@@ -41,6 +41,7 @@ class SuperPointConfig:
     nms: int = 4
     det_thresh: float = 0.001
     top_k: int = 0
+    use_bn: bool = True  # False = BN-folded inference variant
 
     @property
     def has_descriptor(self) -> bool:
@@ -63,18 +64,24 @@ class SuperPointConfig:
 
 
 class VGGBlock(nn.Module):
-    """conv -> BatchNorm -> (ReLU). BN params match torch defaults."""
+    """conv -> BatchNorm -> (ReLU). BN params match torch defaults.
+
+    ``use_bn=False`` builds the inference-folded variant (bias-only conv)
+    whose params come from ``fold_batch_norm``.
+    """
 
     features: int
     kernel: int = 3
     activation: bool = True
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
         if self.activation:
             x = nn.relu(x)
         return x
@@ -82,11 +89,12 @@ class VGGBlock(nn.Module):
 
 class VGGBackbone(nn.Module):
     channels: Sequence[int]
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, c in enumerate(self.channels):
-            x = VGGBlock(c, name=f"block{i + 1}")(x, train)
+            x = VGGBlock(c, use_bn=self.use_bn, name=f"block{i + 1}")(x, train)
             if i in (1, 3, 5):  # maxpool after blocks 2, 4, 6 -> stride 8
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return x
@@ -95,24 +103,30 @@ class VGGBackbone(nn.Module):
 class DetectorHead(nn.Module):
     dims: tuple[int, int]
     grid_size: int = 8
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = VGGBlock(self.dims[1], kernel=3, activation=True, name="convPa")(x, train)
+        x = VGGBlock(self.dims[1], kernel=3, activation=True,
+                     use_bn=self.use_bn, name="convPa")(x, train)
         logits = VGGBlock(
-            self.grid_size**2 + 1, kernel=1, activation=False, name="convPb"
+            self.grid_size**2 + 1, kernel=1, activation=False,
+            use_bn=self.use_bn, name="convPb"
         )(x, train)
         return logits  # (B, Hc, Wc, 65)
 
 
 class DescriptorHead(nn.Module):
     dims: tuple[int, int]
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = VGGBlock(self.dims[1], kernel=3, activation=True, name="convDa")(x, train)
+        x = VGGBlock(self.dims[1], kernel=3, activation=True,
+                     use_bn=self.use_bn, name="convDa")(x, train)
         desc_raw = VGGBlock(
-            self.dims[1], kernel=1, activation=False, name="convDb"
+            self.dims[1], kernel=1, activation=False,
+            use_bn=self.use_bn, name="convDb"
         )(x, train)
         return desc_raw  # (B, Hc, Wc, 256)
 
@@ -125,13 +139,42 @@ class SuperPoint(nn.Module):
     @nn.compact
     def __call__(self, image, train: bool = False):
         cfg = self.config
-        feat = VGGBackbone(cfg.vgg_cn, name="backbone")(image, train)
+        feat = VGGBackbone(cfg.vgg_cn, cfg.use_bn, name="backbone")(image, train)
         out = {"logits": DetectorHead(cfg.detector_dim, cfg.grid_size,
-                                      name="detector")(feat, train)}
+                                      cfg.use_bn, name="detector")(feat, train)}
         if cfg.has_descriptor:
-            out["desc_raw"] = DescriptorHead(cfg.descriptor_dim,
+            out["desc_raw"] = DescriptorHead(cfg.descriptor_dim, cfg.use_bn,
                                              name="descriptor")(feat, train)
         return out
+
+
+def fold_batch_norm(variables: dict, eps: float = 1e-5):
+    """Fold BatchNorm running stats into conv weights for inference.
+
+    Takes {'params', 'batch_stats'} of a ``use_bn=True`` model and
+    returns {'params'} for the matching ``use_bn=False`` model:
+    kernel' = kernel * g, bias' = beta + (bias - mean) * g with
+    g = gamma / sqrt(var + eps). Removes every per-pixel normalization
+    pass from the inference graph (pure HBM-bandwidth win).
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def walk(p, s):
+        if isinstance(p, dict) and "Conv_0" in p and "BatchNorm_0" in p:
+            conv = p["Conv_0"]
+            bn = p["BatchNorm_0"]
+            st = s["BatchNorm_0"]
+            g = bn["scale"] / jnp.sqrt(st["var"] + eps)
+            kernel = conv["kernel"] * g[None, None, None, :]
+            bias = bn["bias"] + (conv.get("bias", 0.0) - st["mean"]) * g
+            return {"Conv_0": {"kernel": kernel, "bias": bias}}
+        if isinstance(p, dict):
+            return {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+                    for k, v in p.items()}
+        return p
+
+    return {"params": walk(params, stats)}
 
 
 def init_superpoint(key, config: SuperPointConfig, input_shape=(1, 120, 160, 1)):

@@ -1,0 +1,122 @@
+"""Production inference path: candidate-based NMS + matmul descriptor
+sampling.
+
+The parity path (ops/nms.py + ops/descriptor_sampling.py) spends its
+time in full-image suppression windows, a full-image sort (lax.top_k
+over H*W) and pointwise gathers. This module restructures all three
+around what the TPU is good at:
+
+1. candidates come from ONE ``lax.approx_max_k`` over the heatmap (the
+   TPU-native partial sort) — only ~C candidates above threshold exist;
+2. NMS is a (C, C) pairwise suppression among candidates (VPU), exactly
+   the box-IoU topology of ``box_nms``;
+3. descriptors are interpolated by two separable one-hot matmuls on the
+   MXU instead of 16 scattered gathers per point.
+
+Same outputs as the parity path up to approx_max_k recall (>= 0.95 by
+default, exact for the scores that matter since candidates ranked by
+score).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spnerf_tpu.ops.nms import suppression_offsets
+
+
+@functools.partial(jax.jit, static_argnames=("size", "iou", "num_candidates",
+                                             "top_k"))
+def detect_keypoints(
+    prob: jnp.ndarray,
+    min_prob: float = 0.015,
+    size: int = 4,
+    iou: float = 0.1,
+    num_candidates: int = 2048,
+    top_k: int = 1000,
+):
+    """(B, H, W) heatmap -> (pts (B, K, 2), scores (B, K), valid (B, K)).
+
+    Candidate NMS: a candidate survives iff no strictly higher-scored
+    candidate overlaps it above the IoU threshold (same pairwise
+    topology as ops.nms.box_nms).
+    """
+    B, H, W = prob.shape
+    C = min(num_candidates, H * W)
+    flat = prob.reshape(B, -1)
+    scores, idx = jax.lax.approx_max_k(flat, C, recall_target=0.95)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    cand_valid = scores >= min_prob
+
+    # pairwise suppression footprint (B, C, C)
+    dy = jnp.abs(ys[:, :, None] - ys[:, None, :])
+    dx = jnp.abs(xs[:, :, None] - xs[:, None, :])
+    inter = jnp.maximum(0.0, size - dy) * jnp.maximum(0.0, size - dx)
+    union = 2.0 * size * size - inter
+    overlap = inter / union > iou
+    stronger = scores[:, None, :] > scores[:, :, None]
+    suppressed = jnp.any(
+        overlap & stronger & cand_valid[:, None, :], axis=-1
+    )
+    keep = cand_valid & ~suppressed
+
+    kept_scores = jnp.where(keep, scores, -jnp.inf)
+    k = min(top_k, C)
+    final_scores, sel = jax.lax.top_k(kept_scores, k)  # C is small: cheap
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    pts = jnp.stack([take(ys), take(xs)], axis=-1)
+    valid = jnp.isfinite(final_scores) & (final_scores >= min_prob)
+    return pts, jnp.where(valid, final_scores, 0.0), valid
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    t2 = t * t
+    t3 = t2 * t
+    w0 = a * (t3 - 2 * t2 + t)
+    w1 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w3 = a * (-t3 + t2)
+    return jnp.stack([w0, w1, w2, w3], axis=-1)  # (K, 4)
+
+
+def _axis_weight_matrix(coord: jnp.ndarray, n: int, grid_size: int):
+    """(K,) pixel coords -> (K, n) cubic interpolation row weights with
+    border clamping (same geometry as ops/descriptor_sampling.py)."""
+    src = (coord + 0.5) / grid_size - 0.5
+    base = jnp.floor(src)
+    t = src - base
+    w = _cubic_weights(t)  # (K, 4)
+    idx = base[:, None].astype(jnp.int32) + jnp.arange(-1, 3)[None, :]  # (K, 4)
+    idx = jnp.clip(idx, 0, n - 1)
+    # scatter-free one-hot: (K, 4, n) -> sum over taps
+    grid = jnp.arange(n)[None, None, :]
+    onehot = (idx[:, :, None] == grid).astype(w.dtype)
+    return jnp.einsum("kt,ktn->kn", w, onehot)
+
+
+def sample_descriptors_matmul(
+    desc_raw: jnp.ndarray,
+    points: jnp.ndarray,
+    grid_size: int = 8,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Bicubic descriptor interpolation at (K, 2) points as two separable
+    matmuls: out[k] = sum_h sum_w Wy[k,h] Wx[k,w] desc[h,w]."""
+    Hc, Wc, C = desc_raw.shape
+    K = points.shape[0]
+    Wy = _axis_weight_matrix(points[:, 0], Hc, grid_size).astype(desc_raw.dtype)
+    Wx = _axis_weight_matrix(points[:, 1], Wc, grid_size).astype(desc_raw.dtype)
+    # contract H on the MXU: (K, Hc) @ (Hc, Wc*C)
+    tmp = jnp.dot(Wy, desc_raw.reshape(Hc, Wc * C),
+                  preferred_element_type=jnp.float32).reshape(K, Wc, C)
+    # contract W as an explicit VPU reduction (a k-batched matvec would
+    # lower to K tiny matmuls)
+    out = jnp.sum(Wx[:, :, None] * tmp, axis=1)
+    if normalize:
+        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
+    return out

@@ -59,6 +59,7 @@ def build_step_config(config: dict, model, include_mask: bool,
         aug=aug,
         erosion=erosion,
         pair=is_pair,
+        pallas_desc=bool(config.get("train", {}).get("pallas_desc_loss", False)),
     )
 
 
@@ -128,6 +129,7 @@ def train(
         stream = iter_forever(loaders["train"])
         get_batch = lambda: next(stream)
 
+    log_every = int(config.get("log_every", 50))
     running = []
     it = int(state.iteration)
     while it < num_iters:
@@ -135,13 +137,16 @@ def train(
         key, k_step = jax.random.split(key)
         state, metrics = train_step(state, batch, k_step, step_cfg, tx)
         it += 1
-        running.append(float(metrics["loss"]))
-        writer.scalars(
-            {k: v for k, v in metrics.items()}, it, prefix="iter_loss/"
-        )
+        # materialize metrics only periodically: a float() every iteration
+        # would force a device sync per step
+        if it % log_every == 0 or it % interval == 0 or it >= num_iters:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            running.append(host_metrics["loss"])
+            writer.scalars(host_metrics, it, prefix="iter_loss/")
 
         if it % interval == 0 or it >= num_iters:
-            writer.scalar("running_loss/train", float(np.mean(running)), it)
+            if running:
+                writer.scalar("running_loss/train", float(np.mean(running)), it)
             running = []
             if validate_training and loaders.get("validation") is not None:
                 val_loader = loaders["validation"]

@@ -120,7 +120,7 @@ def magicpoint_loss_fn(
 def superpoint_loss_fn(
     params, batch_stats, model: SuperPoint, data: dict, key,
     grid_size: int, include_mask: bool, desc_cfg: DescriptorLossConfig,
-    nerf_desc: bool = False, train: bool = True,
+    nerf_desc: bool = False, train: bool = True, pallas_desc: bool = False,
 ):
     k1, k2 = jax.random.split(key)
 
@@ -146,7 +146,29 @@ def superpoint_loss_fn(
         data["warp"]["valid_mask"] if include_mask else None, grid_size,
     )
     wmask = data["warp"]["valid_mask"] if include_mask else None
-    if nerf_desc:
+    if pallas_desc and not desc_cfg.normalise_descriptors:
+        from spnerf_tpu.geometry.homography import warp_points
+        from spnerf_tpu.geometry.reprojection import warp_points_nerf
+        from spnerf_tpu.kernels.descriptor_loss_pallas import (
+            descriptor_loss_pallas,
+        )
+        from spnerf_tpu.train.losses import cell_grid_coords
+
+        B, Hc, Wc, _ = out["desc_raw"].shape
+        cells = cell_grid_coords(Hc, Wc, desc_cfg.grid_size)
+        if nerf_desc:
+            warped_cells = warp_points_nerf(
+                cells, data["raw"]["depth"], data["intrinsics"],
+                data["raw"]["rotation"], data["raw"]["translation"],
+                data["warp"]["rotation"], data["warp"]["translation"],
+            )
+        else:
+            warped_cells = warp_points(cells, data["homography"])
+        desc, pos, neg = descriptor_loss_pallas(
+            out["desc_raw"], warped_out["desc_raw"], warped_cells,
+            desc_cfg, wmask,
+        )
+    elif nerf_desc:
         desc, pos, neg = descriptor_loss_nerf(
             out["desc_raw"], warped_out["desc_raw"],
             data["raw"]["depth"], data["intrinsics"],
@@ -184,11 +206,14 @@ class StepConfig:
     aug: HomographyConfig | None = None
     erosion: int = 0
     pair: bool = False  # SuperPoint warped-pair mode
+    # blockwise Pallas descriptor loss (normalise=False only); the dense
+    # MXU-matmul path is used when False
+    pallas_desc: bool = False
 
     def __hash__(self):  # SuperPoint module is hashable (frozen dataclass cfg)
         return hash((id(self.model), self.grid_size, self.include_mask,
                      self.desc_cfg, self.nerf_desc, self.aug, self.erosion,
-                     self.pair))
+                     self.pair, self.pallas_desc))
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnames=("state",))
@@ -201,6 +226,7 @@ def train_step(state: TrainState, batch: dict, key: jax.Array,
         loss_fn = lambda p: superpoint_loss_fn(
             p, state.batch_stats, cfg.model, data, k_loss, cfg.grid_size,
             cfg.include_mask, cfg.desc_cfg, cfg.nerf_desc, True,
+            cfg.pallas_desc,
         )
     else:
         data = prepare_detector_batch(k_aug, batch, cfg.aug, cfg.erosion) \
@@ -234,6 +260,7 @@ def eval_step(state: TrainState, batch: dict, key: jax.Array, cfg: StepConfig):
         loss, (_, metrics) = superpoint_loss_fn(
             state.params, state.batch_stats, cfg.model, data, k_loss,
             cfg.grid_size, cfg.include_mask, cfg.desc_cfg, cfg.nerf_desc, False,
+            cfg.pallas_desc,
         )
         image = data["raw"]["image"]
         heatmap = data["raw"]["kpts_heatmap"]
