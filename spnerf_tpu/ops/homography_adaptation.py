@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from spnerf_tpu.geometry.homography import HomographyConfig, sample_homography
-from spnerf_tpu.ops.image_warp import binary_erosion, ellipse_kernel, warp_image
+from spnerf_tpu.ops.image_warp import (
+    compute_valid_mask,
+    warp_image_matmul,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,18 +75,11 @@ def homography_adaptation(
     if n_extra == 0:
         return prob0
 
-    kernel = (
-        ellipse_kernel(cfg.valid_border_margin * 2)
-        if cfg.valid_border_margin
-        else None
-    )
-
     keys = jax.random.split(key, pad_total * B).reshape(n_chunks, chunk * B, 2)
     # per-warp validity (padding warps beyond num-1 contribute nothing)
     warp_alive = (jnp.arange(pad_total) < n_extra).astype(jnp.float32)
     warp_alive = warp_alive.reshape(n_chunks, chunk)
 
-    ones = jnp.ones((chunk * B, H, W, 1), jnp.float32)
     img_tiled = jnp.tile(image, (chunk, 1, 1, 1))  # (chunk*B, H, W, 1)
 
     def chunk_step(carry, inp):
@@ -92,15 +88,16 @@ def homography_adaptation(
         Hs = jax.vmap(lambda k: sample_homography(k, (H, W), cfg.params))(ks)
         H_inv = jnp.linalg.inv(Hs)
 
-        warped = warp_image(img_tiled, Hs, mode="bilinear")
-        mask = warp_image(ones, Hs, mode="nearest")[..., 0]
-        count = warp_image(ones, H_inv, mode="nearest")[..., 0]
-        if kernel is not None:
-            mask = binary_erosion(mask, kernel)
-            count = binary_erosion(count, kernel)
+        warped = warp_image_matmul(img_tiled, Hs)
+        # analytic validity masks (no gathers): mask lives in the warped
+        # frame (uses H), count in the original frame (uses H^-1)
+        mask = compute_valid_mask((H, W), Hs, cfg.valid_border_margin)
+        mask = mask.astype(jnp.float32)
+        count = compute_valid_mask((H, W), H_inv, cfg.valid_border_margin)
+        count = count.astype(jnp.float32)
 
         prob = prob_fn(warped) * mask  # (chunk*B, H, W)
-        prob_proj = warp_image(prob[..., None], H_inv, mode="bilinear")[..., 0]
+        prob_proj = warp_image_matmul(prob[..., None], H_inv)[..., 0]
         prob_proj = prob_proj * count
 
         alive_b = jnp.repeat(alive, B)[:, None, None]

@@ -21,9 +21,9 @@ from spnerf_tpu.geometry.homography import (
 from spnerf_tpu.geometry.keypoints import compute_keypoint_map, filter_points_mask
 from spnerf_tpu.geometry.reprojection import warp_points_nerf
 from spnerf_tpu.ops.image_warp import (
-    binary_erosion,
-    ellipse_kernel,
+    compute_valid_mask,
     warp_image,
+    warp_image_matmul,
 )
 
 
@@ -51,7 +51,10 @@ def homographic_augment(
     keys = jax.random.split(key, B)
     homographies = jax.vmap(lambda k: sample_homography(k, (H, W), config))(keys)
 
-    warped_images = warp_image(images, homographies, mode="bilinear")
+    if images.shape[-1] == 1:
+        warped_images = warp_image_matmul(images, homographies)
+    else:
+        warped_images = warp_image(images, homographies, mode="bilinear")
 
     # warp_points broadcasts: kpts (B, N, 2) with (B, 3, 3) -> (B, N, 2)
     warped_kpts = warp_points(kpts, homographies)
@@ -60,11 +63,7 @@ def homographic_augment(
 
     heatmap = make_heatmaps(warped_kpts, warped_mask, (H, W))
 
-    ones = jnp.ones((B, H, W, 1), jnp.float32)
-    valid = warp_image(ones, homographies, mode="nearest")[..., 0]
-    if erosion > 0:
-        valid = binary_erosion(valid, ellipse_kernel(erosion * 2))
-    valid = valid.astype(jnp.int32)
+    valid = compute_valid_mask((H, W), homographies, erosion)
 
     return {
         "image": warped_images,
