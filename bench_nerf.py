@@ -16,7 +16,7 @@ import numpy as np
 
 from spnerf_tpu.models.nerf import NeRFConfig, init_nerf, render_rays
 
-N_RAYS = 16384
+N_RAYS = 32768
 BASELINE_RAYS = 50e6
 
 

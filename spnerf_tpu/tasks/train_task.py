@@ -130,15 +130,30 @@ def train(
         get_batch = lambda: next(stream)
 
     log_every = int(config.get("log_every", 50))
+    profile_cfg = config.get("profile", {}) or {}
+    from spnerf_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer(window=log_every)
     running = []
     it = int(state.iteration)
     while it < num_iters:
+        if profile_cfg.get("enable") and it == profile_cfg.get("start", 10):
+            jax.profiler.start_trace(
+                profile_cfg.get("logdir", str(Path(CKPT_PATH, ckpt_name, "trace")))
+            )
+        if profile_cfg.get("enable") and it == (
+            profile_cfg.get("start", 10) + profile_cfg.get("num_steps", 20)
+        ):
+            jax.profiler.stop_trace()
         batch = _to_device(get_batch(), mesh if multi_device else None)
         key, k_step = jax.random.split(key)
         state, metrics = train_step(state, batch, k_step, step_cfg, tx)
         it += 1
         # materialize metrics only periodically: a float() every iteration
         # would force a device sync per step
+        sps = timer.tick()
+        if sps is not None:
+            writer.scalar("perf/steps_per_sec", sps, it)
         if it % log_every == 0 or it % interval == 0 or it >= num_iters:
             host_metrics = {k: float(v) for k, v in metrics.items()}
             running.append(host_metrics["loss"])

@@ -1,0 +1,32 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spnerf_tpu.geometry.homography import HomographyConfig, sample_homography
+from spnerf_tpu.ops.image_warp import warp_image, warp_image_matmul
+
+
+def test_matmul_warp_matches_gather_warp(rng):
+    B, H, W = 3, 48, 64
+    img = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32))
+    cfg = HomographyConfig(allow_artifacts=True, patch_ratio=0.8,
+                           scaling_amplitude=0.2)
+    Hs = jax.vmap(lambda k: sample_homography(k, (H, W), cfg))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    a = np.asarray(warp_image(img, Hs, mode="bilinear"))
+    b = np.asarray(warp_image_matmul(img, Hs))
+    np.testing.assert_allclose(b, a, atol=2e-3)
+
+
+def test_matmul_warp_identity(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 1)).astype(np.float32))
+    out = np.asarray(warp_image_matmul(img, jnp.tile(jnp.eye(3)[None], (2, 1, 1))))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+def test_matmul_warp_translation_zero_pads():
+    img = jnp.ones((1, 16, 16, 1))
+    H = jnp.array([[[1.0, 0.0, 5.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]])
+    out = np.asarray(warp_image_matmul(img, H))[0, ..., 0]
+    assert out[:, :4].max() < 1e-6  # shifted-in region is zero
+    assert out[:, 6:].min() > 0.99
