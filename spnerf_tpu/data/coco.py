@@ -22,6 +22,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
+from spnerf_tpu.data.rng import ThreadLocalRNG
 from spnerf_tpu.data.preprocessing import ratio_preserving_resize
 from spnerf_tpu.settings import DATA_PATH, EXPER_PATH
 
@@ -40,7 +41,7 @@ class COCO:
         photo = self.config.get("augmentation", {}).get("photometric", {})
         self.photometric = PhotometricAug(photo) if photo.get("enable") else None
         self.warped_pair = bool(self.config.get("warped_pair"))
-        self._rng = np.random.default_rng(hash(self.split) % 2**31)
+        self._rng = ThreadLocalRNG(hash(self.split) % 2**31)
 
     def _init_dataset(self):
         data_dir = Path(DATA_PATH, self.config.get("name", "COCO"), "images", self.split)
@@ -77,12 +78,12 @@ class COCO:
             out["kpts_mask"] = mask
 
         aug = self.photometric is not None and self.split == "training"
-        raw = self.photometric(img, self._rng) if aug else img
+        raw = self.photometric(img, self._rng.get()) if aug else img
         out["image"] = (raw / 255.0)[..., None].astype(np.float32)
 
         if self.warped_pair:
             # independent photometric draw for the to-be-warped view
-            warp_src = self.photometric(img, self._rng) if aug else img
+            warp_src = self.photometric(img, self._rng.get()) if aug else img
             out["image_warp_src"] = (warp_src / 255.0)[..., None].astype(np.float32)
 
         return out

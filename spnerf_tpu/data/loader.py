@@ -38,6 +38,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         infinite: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +47,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.infinite = infinite
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset)
@@ -70,10 +72,22 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        def load_batch(batch_idx):
+            if self.num_workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    samples = list(pool.map(
+                        lambda i: self.dataset[int(i)], batch_idx
+                    ))
+            else:
+                samples = [self.dataset[int(i)] for i in batch_idx]
+            return collate(samples)
+
         def worker():
             try:
                 for batch_idx in self._index_stream():
-                    q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+                    q.put(load_batch(batch_idx))
                 q.put(stop)
             except BaseException as e:  # propagate into the consumer
                 q.put(e)

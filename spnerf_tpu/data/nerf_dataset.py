@@ -24,6 +24,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
+from spnerf_tpu.data.rng import ThreadLocalRNG
 from spnerf_tpu.settings import DATA_PATH, EXPER_PATH
 
 MAX_KPTS = 1024
@@ -53,7 +54,7 @@ class NeRFDataset:
         photo = self.config.get("augmentation", {}).get("photometric", {})
         self.photometric = PhotometricAug(photo) if photo.get("enable") else None
         self.warped_pair = bool(self.config.get("warped_pair"))
-        self._rng = np.random.default_rng(hash((self.split, "nerf")) % 2**31)
+        self._rng = ThreadLocalRNG(hash((self.split, "nerf")) % 2**31)
 
     def _init_dataset(self):
         scene = Path(DATA_PATH, self.config.get("name", "NeRF"),
@@ -90,7 +91,7 @@ class NeRFDataset:
                 candidates.append(index + off)
         if not candidates:
             candidates = [i for i in range(n) if i != index] or [index]
-        return int(self._rng.choice(candidates))
+        return int(self._rng.get().choice(candidates))
 
     def _load_frame(self, index: int):
         img = cv2.imread(self.samples["image_paths"][index], cv2.IMREAD_GRAYSCALE)
@@ -124,13 +125,13 @@ class NeRFDataset:
             out["kpts_mask"] = mask
 
         aug = self.photometric is not None and self.split == "training"
-        raw = self.photometric(img, self._rng) if aug else img
+        raw = self.photometric(img, self._rng.get()) if aug else img
 
         if self.warped_pair:
             j = self._random_partner(index)
             wimg, Rw, tw = self._load_frame(j)
             if aug:
-                wimg = self.photometric(wimg, self._rng)
+                wimg = self.photometric(wimg, self._rng.get())
             out["image_warp"] = (wimg / 255.0)[..., None].astype(np.float32)
             out["rotation_warp"] = Rw
             out["translation_warp"] = tw
@@ -142,8 +143,8 @@ class NeRFDataset:
         ds = self.config.get("downsample")
         if ds and self.split == "training":
             dh, dw = self.config["downsample_size"]
-            i0 = int(self._rng.integers(0, max(H - dh, 0) + 1))
-            j0 = int(self._rng.integers(0, max(W - dw, 0) + 1))
+            i0 = int(self._rng.get().integers(0, max(H - dh, 0) + 1))
+            j0 = int(self._rng.get().integers(0, max(W - dw, 0) + 1))
             raw = raw[i0 : i0 + dh, j0 : j0 + dw]
             out["depth"] = out["depth"][i0 : i0 + dh, j0 : j0 + dw]
             if "image_warp" in out:

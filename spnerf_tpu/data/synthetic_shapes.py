@@ -21,6 +21,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
+from spnerf_tpu.data.rng import ThreadLocalRNG
 from spnerf_tpu.data.synthetic_draw import PRIMITIVES, generate_sample
 from spnerf_tpu.settings import DATA_PATH
 from spnerf_tpu.utils.config import dict_update, parse_primitives
@@ -66,7 +67,7 @@ class SyntheticShapes:
         self.samples = self._init_dataset()
         photo_cfg = self.config["augmentation"]["photometric"]
         self.photometric = PhotometricAug(photo_cfg) if photo_cfg.get("enable") else None
-        self._rng = np.random.default_rng(
+        self._rng = ThreadLocalRNG(
             self.config["generation"]["random_seed"] + hash(self.split) % 10000
         )
 
@@ -139,7 +140,7 @@ class SyntheticShapes:
         points = np.load(self.samples["points"][idx]).reshape(-1, 2)
 
         if self.photometric is not None and self.split == "training":
-            img = self.photometric(img, self._rng)
+            img = self.photometric(img, self._rng.get())
 
         kpts = np.zeros((MAX_KPTS, 2), np.float32)
         mask = np.zeros((MAX_KPTS,), bool)

@@ -54,12 +54,15 @@ def get_loaders(config: dict, task: str, nerf_train: bool = False):
     data_cfg = dict(config["data"])
     batch_size = data_cfg.get("batch_size", 1)
 
+    num_workers = data_cfg.get("num_workers", 0)
+
     def mk(ds, split):
         return DataLoader(
             ds,
             batch_size=batch_size,
             shuffle=(split == "training"),
             drop_last=(split == "training"),
+            num_workers=num_workers,
         )
 
     if nerf_train:
