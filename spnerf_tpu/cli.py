@@ -64,6 +64,9 @@ def _load_model_for_inference(config, input_shape):
 
 
 def main(argv=None):
+    from spnerf_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = build_parser().parse_args(argv)
     config = load_config(args.config_path)
 
