@@ -53,7 +53,8 @@ def detect_keypoints(
     xs = (idx % W).astype(jnp.float32)
     cand_valid = scores >= min_prob
 
-    # pairwise suppression footprint (B, C, C)
+    # pairwise suppression footprint (B, C, C); f32 coordinates — bf16
+    # rounds pixel indices above 256 and would corrupt near-neighbor tests
     dy = jnp.abs(ys[:, :, None] - ys[:, None, :])
     dx = jnp.abs(xs[:, :, None] - xs[:, None, :])
     inter = jnp.maximum(0.0, size - dy) * jnp.maximum(0.0, size - dx)
