@@ -21,6 +21,7 @@ import numpy as np
 
 from spnerf_tpu.models.fused_tiny_nerf import (
     TinyFieldConfig,
+    direction_features,
     encode_rays,
     init_params,
     make_encoding,
@@ -41,20 +42,21 @@ def main():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.zeros((N_RAYS, 3))
     oe, de = encode_rays(o, d, A, c)
+    df = direction_features(params, d, A, c)
 
     @jax.jit
-    def render(oe, de):
+    def render(oe, de, df):
         return render_fused(
-            oe, de, params["w1"], params["w2"], params["w3"],
+            oe, de, params["w1"], params["w2"], params["w3"], df,
             jitter=0.5, n_samples=cfg.n_samples, near=cfg.near, far=cfg.far,
         )
 
-    np.asarray(render(oe, de)[0][:1])  # compile + materialize
+    np.asarray(render(oe, de, df)[0][:1])  # compile + materialize
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = render(oe, de)
+        out = render(oe, de, df)
     np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 

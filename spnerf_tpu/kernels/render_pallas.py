@@ -40,8 +40,8 @@ ENC = 128  # encoding width (padded)
 HID = 128  # MLP width
 
 
-def _kernel(jit_ref, oe_ref, de_ref, w1_ref, w2_ref, w3_ref, ssel_ref,
-            out_ref, depth_ref, enc_scr, h_scr, head_scr,
+def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
+            ssel_ref, out_ref, depth_ref, enc_scr, h_scr, head_scr,
             *, n_samples, near, far, block):
     """Sample-batched: all R*S sample encodings are built first, the MLP
     runs as three LARGE matmuls (M = R*S), then compositing walks the
@@ -63,10 +63,15 @@ def _kernel(jit_ref, oe_ref, de_ref, w1_ref, w2_ref, w3_ref, ssel_ref,
         jnp.dot(enc_scr[...], w1_ref[...],
                 preferred_element_type=jnp.float32), 0.0
     ).astype(mm)
-    h_scr[...] = jnp.maximum(
-        jnp.dot(h_scr[...], w2_ref[...],
-                preferred_element_type=jnp.float32), 0.0
-    ).astype(mm)
+    # layer 2 as ONE big matmul, then the per-ray view feature (df,
+    # precomputed outside) is added per sample segment with the ReLU
+    head_scr[...] = jnp.dot(h_scr[...], w2_ref[...],
+                            preferred_element_type=jnp.float32)
+    df = df_ref[...].astype(jnp.float32)
+    for s in range(n_samples):
+        h_scr[pl.ds(s * block, block), :] = jnp.maximum(
+            head_scr[pl.ds(s * block, block), :] + df, 0.0
+        ).astype(mm)
     head_scr[...] = jnp.dot(h_scr[...], w3_ref[...],
                             preferred_element_type=jnp.float32)
 
@@ -99,6 +104,7 @@ def render_fused(
     w1: jnp.ndarray,
     w2: jnp.ndarray,
     w3: jnp.ndarray,
+    df: jnp.ndarray | None = None,
     jitter: jnp.ndarray | float = 0.5,
     n_samples: int = 32,
     near: float = 2.0,
@@ -113,9 +119,12 @@ def render_fused(
     biases folded into a constant-one input lane by the caller.
     """
     N = oe.shape[0]
+    if df is None:
+        df = jnp.zeros_like(oe)
     pad = (-N) % block
     oe = jnp.pad(oe, ((0, pad), (0, 0)))
     de = jnp.pad(de, ((0, pad), (0, 0)))
+    df = jnp.pad(df, ((0, pad), (0, 0)))
     n_blocks = (N + pad) // block
 
     ssel = np.zeros((HID, HID), np.float32)
@@ -130,6 +139,8 @@ def render_fused(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
@@ -159,8 +170,8 @@ def render_fused(
             pltpu.VMEM((block * n_samples, HID), jnp.float32),
         ],
         interpret=interpret,
-    )(jit_arr, oe, de, jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
-      jnp.asarray(ssel))
+    )(jit_arr, oe, de, df, jnp.asarray(w1), jnp.asarray(w2),
+      jnp.asarray(w3), jnp.asarray(ssel))
 
     rgb = rgb_w[:N, 1:4]
     depth = depth_w[:N, 0]

@@ -3,9 +3,9 @@
 The field family served by ``kernels/render_pallas.render_fused``: a
 Fourier-feature encoding folded into a single affine map (3->128, with a
 constant-one bias lane), two 128-wide ReLU layers and a 128-wide head
-whose column 0 is raw density and columns 1..3 are RGB logits. No
-view-dependent branch — this is the fast-preview family (the classic
-and hash-grid fields keep full view dependence).
+whose column 0 is raw density and columns 1..3 are RGB logits.
+View dependence enters as a per-ray direction feature vector
+(sin(d @ Ad + cd) @ wd) added before the second layer.
 
 Training runs through the numerically identical XLA path
 (``render_xla``); the Pallas kernel serves. ``test_fused_render.py``
@@ -66,15 +66,24 @@ def encode_rays(origins, directions, A, c):
 
 
 def init_params(key, scale: float = 0.1):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "w1": jax.random.normal(k1, (ENC, HID)) * scale,
         "w2": jax.random.normal(k2, (HID, HID)) * scale,
         "w3": jax.random.normal(k3, (HID, HID)) * scale,
+        "wd": jax.random.normal(k4, (ENC, HID)) * scale,
     }
 
 
-def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5):
+def direction_features(params, directions, A, c):
+    """Per-ray view features injected before layer 2 (computed once)."""
+    hi = jax.lax.Precision.HIGHEST
+    denc = jnp.sin(jnp.dot(directions, A, precision=hi) + c)
+    return jnp.dot(denc, params["wd"], precision=hi)
+
+
+def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5,
+               df=None):
     """Reference renderer, op-for-op the Pallas kernel's math."""
     cfg = config
     dt = (cfg.far - cfg.near) / cfg.n_samples
@@ -83,11 +92,12 @@ def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5):
     depth_acc = jnp.zeros((R,))
     trans = jnp.ones((R,))
     acc = jnp.zeros((R,))
+    df = jnp.zeros((R, HID)) if df is None else df
     for s in range(cfg.n_samples):
         t_s = cfg.near + (s + jitter) * dt
         enc = jnp.sin(oe + t_s * de)
         h = jax.nn.relu(enc @ params["w1"])
-        h = jax.nn.relu(h @ params["w2"])
+        h = jax.nn.relu(h @ params["w2"] + df)
         head = h @ params["w3"]
         sigma = head[:, 0]
         alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dt)
@@ -109,8 +119,9 @@ def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
     if A is None or c is None:
         A, c = make_encoding(config)
     oe, de = encode_rays(origins, directions, A, c)
+    df = direction_features(params, directions, A, c)
     rgb, depth = render_fused(
-        oe, de, params["w1"], params["w2"], params["w3"],
+        oe, de, params["w1"], params["w2"], params["w3"], df,
         jitter=jitter, n_samples=config.n_samples,
         near=config.near, far=config.far, interpret=interpret,
     )

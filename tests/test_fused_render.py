@@ -8,6 +8,7 @@ import pytest
 
 from spnerf_tpu.models.fused_tiny_nerf import (
     TinyFieldConfig,
+    direction_features,
     encode_rays,
     init_params,
     make_encoding,
@@ -31,7 +32,8 @@ def test_fused_matches_xla(setup):
     params, o, d = setup
     A, c = make_encoding(CFG)
     oe, de = encode_rays(o, d, A, c)
-    ref = render_xla(params, oe, de, CFG)
+    df = direction_features(params, d, A, c)
+    ref = render_xla(params, oe, de, CFG, df=df)
     got = render_fused_rays(params, o, d, CFG, interpret=True)
     np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
                                atol=2e-3)
@@ -58,6 +60,7 @@ def test_tiny_field_overfits():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     oe, de = encode_rays(o, d, A, c)
     target = jnp.tile(jnp.array([[0.7, 0.2, 0.4]]), (64, 1))
+    df_fn = lambda p: direction_features(p, d, A, c)
 
     tx = optax.adam(3e-3)
     opt = tx.init(params)
@@ -65,7 +68,7 @@ def test_tiny_field_overfits():
     @jax.jit
     def step(p, opt_state):
         def loss_fn(pp):
-            out = render_xla(pp, oe, de, cfg)
+            out = render_xla(pp, oe, de, cfg, df=df_fn(pp))
             return jnp.mean((out["rgb"] - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -80,6 +83,6 @@ def test_tiny_field_overfits():
     assert float(loss) < first * 0.5
 
     got = render_fused_rays(params, o, d, cfg, interpret=True)
-    ref = render_xla(params, oe, de, cfg)
+    ref = render_xla(params, oe, de, cfg, df=df_fn(params))
     np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
                                atol=2e-3)
