@@ -74,17 +74,21 @@ def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
         ).astype(mm)
     head_scr[...] = jnp.dot(h_scr[...], w3_ref[...],
                             preferred_element_type=jnp.float32)
+    # one-shot over all samples: sigma broadcast (one big selector
+    # matmul) reusing h_scr, and in-place sigmoid of the head
+    h_scr[...] = jnp.dot(head_scr[...].astype(h_scr.dtype), ssel_ref[...],
+                         preferred_element_type=jnp.float32).astype(
+                             h_scr.dtype)
+    head_scr[...] = jax.nn.sigmoid(head_scr[...])
 
     rgb_acc = jnp.zeros((R, HID), jnp.float32)
     depth_acc = jnp.zeros((R, HID), jnp.float32)
     trans = jnp.ones((R, HID), jnp.float32)
     for s in range(n_samples):
         t_s = near + (s + jitter) * dt
-        head = head_scr[pl.ds(s * R, R), :]
-        sigma = jnp.dot(head, ssel_ref[...],
-                        preferred_element_type=jnp.float32)
+        sigma = h_scr[pl.ds(s * R, R), :].astype(jnp.float32)
         alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dt)
-        rgb = jax.nn.sigmoid(head)
+        rgb = head_scr[pl.ds(s * R, R), :]
         w = trans * alpha
         rgb_acc = rgb_acc + w * rgb
         depth_acc = depth_acc + w * t_s
