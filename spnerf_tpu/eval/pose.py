@@ -5,6 +5,14 @@ Counterpart of reference evaluations/pose_evaluation.py:40-393
 images, mutual-NN match, epipolar precision, essential-matrix RANSAC +
 recoverPose, then AUC@{5,10,20} deg / precision / matching score.
 
+The numeric protocol (symmetric squared epipolar distance in normalized
+coordinates, trapezoidal recall-AUC over the pose-error staircase,
+in-plane-rotation handling of intrinsics/extrinsics) must match the
+reference for eval parity; the implementation here is derived from
+first principles — the 90-degree-rotation handling composes a single
+pixel map factored as K' @ Rz(-90) instead of case tables, and the
+epipolar/AUC code is vectorized numpy in this repo's idiom.
+
 The model forward runs on device (jitted, via the point-sampled
 descriptor path); classical geometry (RANSAC, recoverPose) stays on
 cv2/numpy on host. Run as:
@@ -27,143 +35,186 @@ from spnerf_tpu.settings import CKPT_PATH, DATA_PATH
 # ------------------------------------------------------- image/intrinsics
 
 
-def process_resize(w: int, h: int, resize) -> tuple[int, int]:
-    if len(resize) == 1 and resize[0] > -1:
-        scale = resize[0] / max(h, w)
-        return int(round(w * scale)), int(round(h * scale))
-    if len(resize) == 1 and resize[0] == -1:
+def resize_dims(w: int, h: int, spec) -> tuple[int, int]:
+    """Resolve a resize spec to (w, h): [n] scales the long side to n,
+    [-1] keeps the input size, [w, h] is explicit."""
+    if len(spec) == 2:
+        return int(spec[0]), int(spec[1])
+    (n,) = spec
+    if n <= -1:
         return w, h
-    return resize[0], resize[1]
+    s = n / max(h, w)
+    return int(round(w * s)), int(round(h * s))
 
 
-def read_image(path, resize, rotation: int = 0, resize_float: bool = False):
-    image = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
-    if image is None:
+def load_gray(path, spec, rotation: int = 0, resize_float: bool = False):
+    """Grayscale image, resized per ``spec`` and rotated by ``rotation``
+    quarter-turns CCW. Returns (image float32, (sx, sy) original/new
+    pixel scale, post-rotation)."""
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if img is None:
         return None, None
-    h, w = image.shape
-    w_new, h_new = process_resize(w, h, resize)
-    scales = (w / float(w_new), h / float(h_new))
+    h, w = img.shape
+    nw, nh = resize_dims(w, h, spec)
     if resize_float:
-        image = cv2.resize(image.astype("float32"), (w_new, h_new))
+        img = cv2.resize(img.astype(np.float32), (nw, nh))
     else:
-        image = cv2.resize(image, (w_new, h_new)).astype("float32")
-    if rotation != 0:
-        image = np.rot90(image, k=rotation)
+        img = cv2.resize(img, (nw, nh)).astype(np.float32)
+    scale = (w / nw, h / nh)
+    if rotation % 4:
+        img = np.rot90(img, k=rotation)
         if rotation % 2:
-            scales = scales[::-1]
-    return image, scales
+            scale = scale[::-1]
+    return img, scale
 
 
-def scale_intrinsics(K: np.ndarray, scales) -> np.ndarray:
-    return np.diag([1.0 / scales[0], 1.0 / scales[1], 1.0]) @ K
+def rescale_K(K: np.ndarray, scale) -> np.ndarray:
+    """Apply a per-axis pixel rescale (sx, sy) to an intrinsics matrix."""
+    out = K.copy().astype(np.float64)
+    out[0] /= scale[0]
+    out[1] /= scale[1]
+    return out
 
 
-def rotate_intrinsics(K: np.ndarray, image_shape, rot: int) -> np.ndarray:
-    assert rot <= 3
-    h, w = image_shape[:2][:: -1 if (rot % 2) else 1]
-    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+def _quarter_turn(K: np.ndarray, w: int, h: int):
+    """One CCW quarter-turn of the image plane.
+
+    np.rot90 maps pixel (x, y) of a (w, h) image to (y, w - 1 - x).
+    That affine map A satisfies A @ K == K' @ Rz(-90deg) with K' again
+    upper-triangular — so the camera splits into new intrinsics K' and
+    a pure in-plane rotation that belongs to the extrinsics.
+    Returns (K', new_w, new_h).
+    """
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    Kp = np.array([[fy, 0.0, cy], [0.0, fx, w - 1.0 - cx], [0.0, 0.0, 1.0]],
+                  dtype=K.dtype)
+    return Kp, h, w
+
+
+def rotate_K(K: np.ndarray, rotated_shape, rot: int) -> np.ndarray:
+    """Intrinsics after ``rot`` CCW quarter-turns. ``rotated_shape`` is
+    the shape of the already-rotated image (h, w)."""
     rot = rot % 4
-    if rot == 1:
-        return np.array([[fy, 0.0, cy], [0.0, fx, w - 1 - cx], [0.0, 0.0, 1.0]],
-                        K.dtype)
-    if rot == 2:
-        return np.array(
-            [[fx, 0.0, w - 1 - cx], [0.0, fy, h - 1 - cy], [0.0, 0.0, 1.0]],
-            K.dtype,
-        )
-    return np.array([[fy, 0.0, h - 1 - cy], [0.0, fx, cx], [0.0, 0.0, 1.0]],
-                    K.dtype)
+    h, w = rotated_shape[:2]
+    if rot % 2:
+        h, w = w, h  # recover pre-rotation dims
+    for _ in range(rot):
+        K, w, h = _quarter_turn(K, w, h)
+    return K
 
 
-def rotate_pose_inplane(i_T_w: np.ndarray, rot: int) -> np.ndarray:
-    mats = [
-        np.array(
-            [[np.cos(r), -np.sin(r), 0, 0], [np.sin(r), np.cos(r), 0, 0],
-             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
-        )
-        for r in np.deg2rad([0, 270, 180, 90])
-    ]
-    return mats[rot] @ i_T_w
+def _rz_homogeneous(quarter_turns: int) -> np.ndarray:
+    """4x4 rotation about the camera z-axis by -90deg * quarter_turns —
+    the extrinsic half of the _quarter_turn factorization."""
+    a = -np.pi / 2.0 * quarter_turns
+    c, s = np.cos(a), np.sin(a)
+    out = np.eye(4, dtype=np.float32)
+    out[:2, :2] = [[c, -s], [s, c]]
+    return out
+
+
+def rotate_extrinsic(cam_T_w: np.ndarray, rot: int) -> np.ndarray:
+    """Compose the in-plane rotation from ``rot`` image quarter-turns
+    onto a world->camera pose."""
+    return _rz_homogeneous(rot % 4) @ cam_T_w
 
 
 # ------------------------------------------------------------ pose metrics
 
 
-def to_homogeneous(points):
-    return np.concatenate([points, np.ones_like(points[:, :1])], axis=-1)
+def _normalized(pts: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """Pixel (N, 2) -> normalized homogeneous (N, 3) rays via K^-1
+    (assumes zero skew, as everywhere in this protocol)."""
+    f = np.array([K[0, 0], K[1, 1]])
+    c = np.array([K[0, 2], K[1, 2]])
+    xy = (np.asarray(pts, np.float64) - c) / f
+    return np.concatenate([xy, np.ones_like(xy[:, :1])], axis=-1)
 
 
-def compute_epipolar_error(kpts0, kpts1, T_0to1, K0, K1):
-    """Symmetric squared epipolar distance in normalized coords."""
-    kpts0 = (kpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
-    kpts1 = (kpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
-    kpts0 = to_homogeneous(kpts0)
-    kpts1 = to_homogeneous(kpts1)
-    t0, t1, t2 = T_0to1[:3, 3]
-    t_skew = np.array([[0, -t2, t1], [t2, 0, -t0], [-t1, t0, 0]])
-    E = t_skew @ T_0to1[:3, :3]
-    Ep0 = kpts0 @ E.T
-    p1Ep0 = np.sum(kpts1 * Ep0, -1)
-    Etp1 = kpts1 @ E
-    return p1Ep0**2 * (
-        1.0 / (Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2)
-        + 1.0 / (Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2)
-    )
+def _cross_matrix(v: np.ndarray) -> np.ndarray:
+    """Skew-symmetric matrix such that _cross_matrix(v) @ u == v x u."""
+    x, y, z = v
+    return np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
 
 
-def estimate_pose(kpts0, kpts1, K0, K1, thresh, conf=0.99999):
-    """Essential-matrix RANSAC + cheirality-best recoverPose."""
+def epipolar_errors(kpts0, kpts1, T_0to1, K0, K1) -> np.ndarray:
+    """Symmetric squared epipolar distance of matches in normalized
+    coordinates, under GT relative pose T_0to1 (E = [t]x R)."""
+    r0 = _normalized(kpts0, K0)
+    r1 = _normalized(kpts1, K1)
+    E = _cross_matrix(T_0to1[:3, 3]) @ T_0to1[:3, :3]
+    l1 = r0 @ E.T          # epipolar line of each x0 in image 1
+    l0 = r1 @ E            # epipolar line of each x1 in image 0
+    residual = np.einsum("nc,nc->n", r1, l1)
+    inv_sq = lambda l: 1.0 / np.einsum("nc,nc->n", l[:, :2], l[:, :2])
+    return residual**2 * (inv_sq(l1) + inv_sq(l0))
+
+
+def recover_relative_pose(kpts0, kpts1, K0, K1, thresh, conf=0.99999):
+    """Essential-matrix RANSAC in normalized coords + recoverPose over
+    the candidate decompositions; returns (R, t, inlier_mask) with the
+    most cheirality-consistent support, or None."""
     if len(kpts0) < 5:
         return None
-    f_mean = np.mean([K0[0, 0], K0[1, 1], K1[0, 0], K1[1, 1]])
-    norm_thresh = thresh / f_mean
-    kpts0 = (kpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
-    kpts1 = (kpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
-    E, mask = cv2.findEssentialMat(
-        kpts0, kpts1, np.eye(3), threshold=norm_thresh, prob=conf,
-        method=cv2.RANSAC,
+    r0 = np.ascontiguousarray(_normalized(kpts0, K0)[:, :2])
+    r1 = np.ascontiguousarray(_normalized(kpts1, K1)[:, :2])
+    # pixel threshold -> normalized units at the mean focal length
+    norm_thresh = thresh * 4.0 / (K0[0, 0] + K0[1, 1] + K1[0, 0] + K1[1, 1])
+    E, ransac_mask = cv2.findEssentialMat(
+        r0, r1, np.eye(3), threshold=norm_thresh, prob=conf, method=cv2.RANSAC
     )
     if E is None:
         return None
     best = None
-    best_n = 0
-    for _E in np.split(E, len(E) / 3):
-        n, R, t, _ = cv2.recoverPose(_E, kpts0, kpts1, np.eye(3), 1e9, mask=mask)
-        if n > best_n:
-            best_n = n
-            best = (R, t[:, 0], mask.ravel() > 0)
+    support = 0
+    for cand in E.reshape(-1, 3, 3):
+        n, R, t, _ = cv2.recoverPose(
+            cand, r0, r1, np.eye(3), 1e9, mask=ransac_mask
+        )
+        if n > support:
+            support = n
+            best = (R, t.ravel(), ransac_mask.ravel() > 0)
     return best
 
 
-def angle_error_mat(R1, R2):
-    cos = np.clip((np.trace(R1.T @ R2) - 1) / 2, -1.0, 1.0)
-    return np.rad2deg(np.abs(np.arccos(cos)))
+def rotation_angle_deg(R1: np.ndarray, R2: np.ndarray) -> float:
+    """Geodesic angle between two rotation matrices, in degrees."""
+    cos = (np.trace(R1.T @ R2) - 1.0) / 2.0
+    return float(np.degrees(np.abs(np.arccos(np.clip(cos, -1.0, 1.0)))))
 
 
-def angle_error_vec(v1, v2):
-    n = np.linalg.norm(v1) * np.linalg.norm(v2)
-    return np.rad2deg(np.arccos(np.clip(np.dot(v1, v2) / n, -1.0, 1.0)))
+def direction_angle_deg(v1: np.ndarray, v2: np.ndarray) -> float:
+    """Angle between two direction vectors, in degrees."""
+    cos = np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
 
 
-def compute_pose_error(T_0to1, R, t):
-    error_t = angle_error_vec(t, T_0to1[:3, 3])
-    error_t = np.minimum(error_t, 180 - error_t)
-    error_R = angle_error_mat(R, T_0to1[:3, :3])
-    return error_t, error_R
+def pose_errors_deg(T_0to1, R, t) -> tuple[float, float]:
+    """(translation-direction error, rotation error) vs GT; translation
+    is sign-ambiguous from an essential matrix, so fold to <= 90deg."""
+    err_t = direction_angle_deg(t, T_0to1[:3, 3])
+    err_R = rotation_angle_deg(R, T_0to1[:3, :3])
+    return min(err_t, 180.0 - err_t), err_R
 
 
-def pose_auc(errors, thresholds):
-    sort_idx = np.argsort(errors)
-    errors = np.asarray(errors, np.float64)[sort_idx]
-    recall = (np.arange(len(errors)) + 1) / len(errors)
-    errors = np.r_[0.0, errors]
-    recall = np.r_[0.0, recall]
+def error_auc(errors, thresholds) -> list[float]:
+    """Area under the recall(error) staircase up to each threshold,
+    normalized to [0, 1].
+
+    Recall points are interpolated linearly between sorted errors and
+    held flat from the last error below ``t`` out to ``t`` (trapezoidal
+    protocol, matching the reference eval exactly).
+    """
+    e = np.sort(np.asarray(errors, np.float64))
+    n = len(e)
+    recall = np.arange(1, n + 1) / n
     aucs = []
     for t in thresholds:
-        last = np.searchsorted(errors, t)
-        r = np.r_[recall[:last], recall[last - 1]]
-        e = np.r_[errors[:last], t]
-        aucs.append(np.trapezoid(r, x=e) / t)
+        k = int(np.searchsorted(e, t))  # errors[:k] < t
+        xs = np.concatenate([[0.0], e[:k], [t]])
+        ys = np.concatenate([[0.0], recall[:k], [recall[k - 1] if k else 0.0]])
+        aucs.append(float(np.trapezoid(ys, x=xs)) / t)
     return aucs
 
 
@@ -171,7 +222,7 @@ def pose_auc(errors, thresholds):
 
 
 def top_keypoints_with_border(prob: np.ndarray, keep_k: int, border: int = 4):
-    """(N, 3) [y, x, score] of top-k NMS'd detections away from borders
+    """(N, 2) [y, x] of top-k NMS'd detections away from borders
     (reference pose_evaluation.py:30-57)."""
     h, w = prob.shape
     ys, xs = np.where(prob > 0)
@@ -217,8 +268,8 @@ def estimate_pose_errors(config: dict, infer_fn, pairs: list[list[str]]):
     for pair in pairs:
         name0, name1 = pair[:2]
         rot0, rot1 = (int(pair[2]), int(pair[3])) if len(pair) >= 5 else (0, 0)
-        image0, scales0 = read_image(images_root / name0, resize, rot0, resize_float)
-        image1, scales1 = read_image(images_root / name1, resize, rot1, resize_float)
+        image0, scale0 = load_gray(images_root / name0, resize, rot0, resize_float)
+        image1, scale1 = load_gray(images_root / name1, resize, rot1, resize_float)
         if image0 is None or image1 is None:
             continue
 
@@ -230,40 +281,36 @@ def estimate_pose_errors(config: dict, infer_fn, pairs: list[list[str]]):
         K0 = np.array(pair[4:13], float).reshape(3, 3)
         K1 = np.array(pair[13:22], float).reshape(3, 3)
         T_0to1 = np.array(pair[22:38], float).reshape(4, 4)
-        K0 = scale_intrinsics(K0, scales0)
-        K1 = scale_intrinsics(K1, scales1)
+        K0 = rescale_K(K0, scale0)
+        K1 = rescale_K(K1, scale1)
         if rot0 != 0 or rot1 != 0:
-            cam0_T_w = np.eye(4)
-            cam1_T_w = T_0to1
-            if rot0 != 0:
-                K0 = rotate_intrinsics(K0, image0.shape, rot0)
-                cam0_T_w = rotate_pose_inplane(cam0_T_w, rot0)
-            if rot1 != 0:
-                K1 = rotate_intrinsics(K1, image1.shape, rot1)
-                cam1_T_w = rotate_pose_inplane(cam1_T_w, rot1)
+            K0 = rotate_K(K0, image0.shape, rot0)
+            K1 = rotate_K(K1, image1.shape, rot1)
+            cam0_T_w = rotate_extrinsic(np.eye(4), rot0)
+            cam1_T_w = rotate_extrinsic(T_0to1, rot1)
             T_0to1 = cam1_T_w @ np.linalg.inv(cam0_T_w)
 
         if len(mk0):
-            epi_errs = compute_epipolar_error(mk0, mk1, T_0to1, K0, K1)
+            epi_errs = epipolar_errors(mk0, mk1, T_0to1, K0, K1)
             correct = epi_errs < epi_thresh
             precision = float(np.mean(correct)) if len(correct) else 0.0
             mscore = float(np.sum(correct) / len(k0)) if len(k0) else 0.0
         else:
             precision = mscore = 0.0
 
-        ret = estimate_pose(mk0, mk1, K0, K1, thresh=1.0)
+        ret = recover_relative_pose(mk0, mk1, K0, K1, thresh=1.0)
         if ret is None:
             err_t = err_R = np.inf
         else:
             R, t, _ = ret
-            err_t, err_R = compute_pose_error(T_0to1, R, t)
+            err_t, err_R = pose_errors_deg(T_0to1, R, t)
 
         pose_errors.append(max(err_t, err_R))
         precisions.append(precision)
         mscores.append(mscore)
 
     thresholds = [5, 10, 20]
-    aucs = [100.0 * a for a in pose_auc(pose_errors, thresholds)]
+    aucs = [100.0 * a for a in error_auc(pose_errors, thresholds)]
     return {
         "auc5": aucs[0], "auc10": aucs[1], "auc20": aucs[2],
         "precision": 100.0 * float(np.mean(precisions)) if precisions else 0.0,
@@ -285,7 +332,7 @@ def build_infer_fn(config: dict):
     resize = config["data"]["resize"]
     # resize is (W, H) in SuperGlue convention
     input_shape = (1, int(resize[1]), int(resize[0]), 1)
-    model, variables = get_model(config["model"], __import__("jax").random.PRNGKey(0),
+    model, variables = get_model(config["model"], jax.random.PRNGKey(0),
                                  input_shape)
     variables, _ = restore_pretrained(config, variables)
 
