@@ -18,7 +18,7 @@ from pathlib import Path
 import jax
 
 from spnerf_tpu.settings import CKPT_PATH
-from spnerf_tpu.utils.config import load_config
+from spnerf_tpu.utils.config import apply_overrides, load_config
 
 TASKS = (
     "train",
@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="training",
                    choices=("training", "validation", "test"))
     p.add_argument("--seed", type=int, default=0)
+    # dotted-key config overrides, reference tyro ergonomics (engine.py:14-43):
+    #   --set train.learning_rate=1e-4 --set model.detector_head.nms=8
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override a config key by dotted path; value parsed "
+                        "as YAML; repeatable")
     return p
 
 
@@ -68,7 +74,7 @@ def main(argv=None):
 
     maybe_initialize_distributed()
     args = build_parser().parse_args(argv)
-    config = load_config(args.config_path)
+    config = apply_overrides(load_config(args.config_path), args.overrides)
 
     if args.task == "train":
         from spnerf_tpu.tasks.train_task import train

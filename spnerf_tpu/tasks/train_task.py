@@ -60,6 +60,9 @@ def build_step_config(config: dict, model, include_mask: bool,
         erosion=erosion,
         pair=is_pair,
         pallas_desc=bool(config.get("train", {}).get("pallas_desc_loss", False)),
+        det_thresh=float(
+            model_cfg.get("detector_head", {}).get("det_thresh", 0.015)
+        ),
     )
 
 
@@ -167,8 +170,14 @@ def train(
                 val_loader = loaders["validation"]
                 if train_nerf:
                     val_loader = val_loader[0]
+                # full validation pass like the reference (train.py:157-221);
+                # train.val_batches bounds it for quick runs (0 = full)
+                val_batches = int(config.get("train", {}).get("val_batches", 0))
+                val_iter = iter(val_loader)
+                if val_batches > 0:
+                    val_iter = itertools.islice(val_iter, val_batches)
                 vals = []
-                for vb in itertools.islice(iter(val_loader), 8):
+                for vb in val_iter:
                     key, k_val = jax.random.split(key)
                     m = eval_step(state, _to_device(vb, None), k_val, step_cfg)
                     vals.append({k: float(v) for k, v in m.items()})

@@ -209,11 +209,14 @@ class StepConfig:
     # blockwise Pallas descriptor loss (normalise=False only); the dense
     # MXU-matmul path is used when False
     pallas_desc: bool = False
+    # detection threshold for validation precision/recall (reference
+    # train.py:190 uses the config det_thresh)
+    det_thresh: float = 0.015
 
     def __hash__(self):  # SuperPoint module is hashable (frozen dataclass cfg)
         return hash((id(self.model), self.grid_size, self.include_mask,
                      self.desc_cfg, self.nerf_desc, self.aug, self.erosion,
-                     self.pair, self.pallas_desc))
+                     self.pair, self.pallas_desc, self.det_thresh))
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnames=("state",))
@@ -281,7 +284,7 @@ def eval_step(state: TrainState, batch: dict, key: jax.Array, cfg: StepConfig):
     from spnerf_tpu.ops.detector_decode import decode_detector_logits
 
     prob = decode_detector_logits(out["logits"], cfg.grid_size)
-    pred = (prob >= 0.015).astype(jnp.int32)
+    pred = (prob >= cfg.det_thresh).astype(jnp.int32)
     precision, recall = precision_recall(pred, heatmap)
     metrics = dict(metrics)
     metrics.update({"val_loss": loss, "precision": precision, "recall": recall})
