@@ -5,33 +5,33 @@ Prints ONE JSON line:
 
 Baseline target (BASELINE.md): >= 5,000 frames/sec/chip on TPU v5e.
 
-Protocol: full production inference in bf16 — BN-folded VGG backbone +
-detector/descriptor heads (models/superpoint.fold_batch_norm), fused
-decode (softmax -> dustbin -> depth-to-space), candidate-based NMS +
-top-K (ops/fast_inference.detect_keypoints: one approx_max_k + pairwise
-suppression instead of full-image windows and sorts), and bicubic
-descriptor sampling AT keypoints as separable MXU matmuls
-(sample_descriptors_matmul) — the TPU-native equivalent of the
-reference's dense x8 upsample path.
+Protocol: full production inference through the int8 Pallas serving
+stack (ops/serving.ServingSuperPoint): BN-folded VGG backbone + heads as
+row-band MXU conv kernels (W-pair packing for the C=64 layers, int8
+weights/activations calibrated PTQ, fused requantization), fused
+logits->keypoints decode (softmax + candidate extraction without the
+depth-to-space relayout; ops/fast_inference.detect_from_logits),
+candidate NMS + top-K, and bicubic descriptor sampling AT keypoints as
+separable MXU matmuls (sample_descriptors_matmul) — the TPU-native
+equivalent of the reference's dense x8 upsample path
+(reference heads.py:17-68).
+
+Set SPNERF_BENCH_MODE=bf16 to measure the bf16 kernel stack instead.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-from spnerf_tpu.models.superpoint import (
-    SuperPoint,
-    SuperPointConfig,
-    fold_batch_norm,
-    init_superpoint,
-)
-from spnerf_tpu.ops.detector_decode import decode_detector_logits
+from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
-    detect_keypoints,
+    detect_from_logits,
     sample_descriptors_matmul,
 )
+from spnerf_tpu.ops.serving import ServingSuperPoint
 
 H, W = 480, 640
 BATCH = 64
@@ -39,42 +39,35 @@ TOP_K = 1000
 BASELINE_FPS = 5000.0
 
 
-def build_inference(config: SuperPointConfig, variables):
-    folded = fold_batch_norm(variables)
-    infer_model = SuperPoint(
-        SuperPointConfig(**{**config.__dict__, "use_bn": False})
-    )
-    bf16_vars = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        folded,
-    )
+def build_inference(config: SuperPointConfig, variables, calib, mode):
+    sp = ServingSuperPoint.build(config, variables, calib_images=calib,
+                                 mode=mode)
     cfg = config
 
     @jax.jit
     def infer(image):
-        out = infer_model.apply(bf16_vars, image.astype(jnp.bfloat16),
-                                train=False)
-        prob = decode_detector_logits(out["logits"].astype(jnp.float32),
-                                      cfg.grid_size)
-        pts, scores, valid = detect_keypoints(
-            prob, min_prob=cfg.det_thresh, size=cfg.nms, top_k=TOP_K,
+        out = sp(image)
+        pts, scores, valid = detect_from_logits(
+            out["logits"], cfg.grid_size, min_prob=cfg.det_thresh,
+            size=cfg.nms, top_k=TOP_K, num_candidates=1024,
         )
         desc = jax.vmap(
             lambda d, p: sample_descriptors_matmul(d, p, cfg.grid_size)
-        )(out["desc_raw"].astype(jnp.bfloat16), pts)
+        )(out["desc_raw"], pts)
         return pts, scores, valid, desc
 
     return infer
 
 
 def main():
+    mode = os.environ.get("SPNERF_BENCH_MODE", "int8")
     cfg = SuperPointConfig(model_name="superpoint", det_thresh=0.015)
     _, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, H, W, 1))
-    infer = build_inference(cfg, variables)
 
     import numpy as np
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, H, W, 1))
+    infer = build_inference(cfg, variables, x[:8], mode)
     np.asarray(infer(x)[1])  # warmup / compile + materialize
 
     n_iters = 20

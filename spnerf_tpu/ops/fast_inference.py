@@ -49,26 +49,61 @@ def detect_keypoints(
     C = min(num_candidates, H * W)
     flat = prob.reshape(B, -1)
     scores, idx = jax.lax.approx_max_k(flat, C, recall_target=0.95)
+    # f32 coordinates — bf16 rounds pixel indices above 256 and would
+    # corrupt the near-neighbor suppression tests
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
-    cand_valid = scores >= min_prob
+    return _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k)
 
-    # pairwise suppression footprint (B, C, C); f32 coordinates — bf16
-    # rounds pixel indices above 256 and would corrupt near-neighbor tests
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "size", "iou",
+                                             "num_candidates", "top_k"))
+def detect_from_logits(
+    logits: jnp.ndarray,
+    grid_size: int = 8,
+    min_prob: float = 0.015,
+    size: int = 4,
+    iou: float = 0.1,
+    num_candidates: int = 1024,
+    top_k: int = 1000,
+):
+    """Keypoints straight from (B, Hc, Wc, 65) detector logits.
+
+    Fuses the decode (softmax -> drop dustbin, reference heads.py:25-29)
+    with candidate extraction: ``approx_max_k`` runs over the cell-major
+    softmax probabilities and pixel coordinates are reconstructed from
+    (cell, within-cell) indices, so the depth-to-space relayout of the
+    full (B, H, W) heatmap is never materialized. Same keypoints as
+    ``decode_detector_logits`` + ``detect_keypoints``.
+    """
+    B, Hc, Wc, _ = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :-1]
+    flat = probs.reshape(B, -1)  # index = (h*Wc + w)*g^2 + dy*g + dx
+    C = min(num_candidates, flat.shape[1])
+    scores, idx = jax.lax.approx_max_k(flat, C, recall_target=0.95)
+    g2 = grid_size * grid_size
+    cell = idx // g2
+    within = idx % g2
+    ys = (cell // Wc * grid_size + within // grid_size).astype(jnp.float32)
+    xs = (cell % Wc * grid_size + within % grid_size).astype(jnp.float32)
+    return _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k)
+
+
+def _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k):
+    """Shared candidate NMS + top-k tail (see ``detect_keypoints``)."""
+    C = scores.shape[1]
+    cand_valid = scores >= min_prob
     dy = jnp.abs(ys[:, :, None] - ys[:, None, :])
     dx = jnp.abs(xs[:, :, None] - xs[:, None, :])
     inter = jnp.maximum(0.0, size - dy) * jnp.maximum(0.0, size - dx)
     union = 2.0 * size * size - inter
     overlap = inter / union > iou
     stronger = scores[:, None, :] > scores[:, :, None]
-    suppressed = jnp.any(
-        overlap & stronger & cand_valid[:, None, :], axis=-1
-    )
+    suppressed = jnp.any(overlap & stronger & cand_valid[:, None, :], axis=-1)
     keep = cand_valid & ~suppressed
-
     kept_scores = jnp.where(keep, scores, -jnp.inf)
     k = min(top_k, C)
-    final_scores, sel = jax.lax.top_k(kept_scores, k)  # C is small: cheap
+    final_scores, sel = jax.lax.top_k(kept_scores, k)
     take = lambda a: jnp.take_along_axis(a, sel, axis=1)
     pts = jnp.stack([take(ys), take(xs)], axis=-1)
     valid = jnp.isfinite(final_scores) & (final_scores >= min_prob)

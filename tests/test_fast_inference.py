@@ -77,3 +77,20 @@ def test_sample_descriptors_matmul_matches_gather(rng):
     got = np.asarray(sample_descriptors_matmul(jnp.asarray(desc_raw),
                                                jnp.asarray(pts), 8))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_detect_from_logits_matches_decode_path(rng):
+    from spnerf_tpu.ops.detector_decode import decode_detector_logits
+    from spnerf_tpu.ops.fast_inference import detect_from_logits
+
+    logits = jnp.asarray(rng.standard_normal((2, 6, 8, 65)), jnp.float32)
+    prob = decode_detector_logits(logits, 8)
+    p1, s1, v1 = detect_keypoints(prob, 0.015, 4, top_k=64,
+                                  num_candidates=256)
+    p2, s2, v2 = detect_from_logits(logits, 8, 0.015, 4, top_k=64,
+                                    num_candidates=256)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    m = np.asarray(v1)
+    np.testing.assert_allclose(np.asarray(p1)[m], np.asarray(p2)[m])
+    np.testing.assert_allclose(np.asarray(s1)[m], np.asarray(s2)[m],
+                               rtol=1e-6)

@@ -1,0 +1,78 @@
+"""Assembled Pallas serving stack vs the f32 flax model.
+
+bf16 mode must track the float model tightly; int8 mode (calibrated PTQ)
+must preserve the decoded probability ranking that drives detection.
+Runs in Pallas interpret mode on CPU (auto-selected off-TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spnerf_tpu.models.superpoint import (
+    SuperPoint,
+    SuperPointConfig,
+    init_superpoint,
+)
+from spnerf_tpu.ops.detector_decode import decode_detector_logits
+from spnerf_tpu.ops.serving import ServingSuperPoint
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SuperPointConfig(model_name="superpoint")
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, H, W, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, H, W, 1))
+    ref = model.apply(variables, x, train=False)
+    return cfg, variables, x, ref
+
+
+def test_bf16_serving_matches_float(setup):
+    cfg, variables, x, ref = setup
+    sp = ServingSuperPoint.build(cfg, variables, mode="bf16")
+    out = sp(x)
+    assert out["logits"].shape == ref["logits"].shape
+    assert out["desc_raw"].shape == ref["desc_raw"].shape
+    # bf16 stack: ~1e-2 relative on pre-activation magnitudes
+    for key in ("logits", "desc_raw"):
+        a = np.asarray(out[key], np.float32)
+        b = np.asarray(ref[key], np.float32)
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() < 0.05 * scale, key
+
+
+def test_int8_serving_preserves_detection(setup):
+    cfg, variables, x, ref = setup
+    sp = ServingSuperPoint.build(cfg, variables, calib_images=x, mode="int8")
+    out = sp(x)
+    prob = np.asarray(decode_detector_logits(
+        out["logits"].astype(jnp.float32), cfg.grid_size))
+    prob_ref = np.asarray(decode_detector_logits(ref["logits"], cfg.grid_size))
+    # decoded heatmaps strongly correlated
+    c = np.corrcoef(prob.ravel(), prob_ref.ravel())[0, 1]
+    assert c > 0.98, c
+    # top-50 cells mostly agree (ranking is what detection consumes)
+    k = 50
+    top = set(np.argsort(prob.ravel())[-k:])
+    top_ref = set(np.argsort(prob_ref.ravel())[-k:])
+    assert len(top & top_ref) >= int(0.8 * k)
+    # descriptors: cosine similarity per cell stays high after L2 norm
+    d = np.array(out["desc_raw"], np.float32).reshape(-1, 256)
+    dr = np.array(ref["desc_raw"], np.float32).reshape(-1, 256)
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+    dr /= np.linalg.norm(dr, axis=1, keepdims=True) + 1e-12
+    cos = np.sum(d * dr, axis=1)
+    assert cos.mean() > 0.98, cos.mean()
+
+
+def test_magicpoint_variant(setup):
+    cfg = SuperPointConfig(model_name="magicpoint")
+    model, variables = init_superpoint(jax.random.PRNGKey(2), cfg, (1, H, W, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 1))
+    sp = ServingSuperPoint.build(cfg, variables, calib_images=x, mode="int8")
+    out = sp(x)
+    assert set(out) == {"logits"}
+    assert out["logits"].shape == (1, H // 8, W // 8, 65)
