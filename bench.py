@@ -12,7 +12,7 @@ weights/activations calibrated PTQ, fused requantization), fused
 logits->keypoints decode (softmax + candidate extraction without the
 depth-to-space relayout; ops/fast_inference.detect_from_logits),
 candidate NMS + top-K, and bicubic descriptor sampling AT keypoints as
-separable MXU matmuls (sample_descriptors_matmul) — the TPU-native
+one combined-weight MXU matmul (sample_descriptors_onehot) — the TPU-native
 equivalent of the reference's dense x8 upsample path
 (reference heads.py:17-68).
 
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
     detect_from_logits,
-    sample_descriptors_matmul,
+    sample_descriptors_onehot,
 )
 from spnerf_tpu.ops.serving import ServingSuperPoint
 
@@ -52,7 +52,7 @@ def build_inference(config: SuperPointConfig, variables, calib, mode):
             size=cfg.nms, top_k=TOP_K, num_candidates=1024,
         )
         desc = jax.vmap(
-            lambda d, p: sample_descriptors_matmul(d, p, cfg.grid_size)
+            lambda d, p: sample_descriptors_onehot(d, p, cfg.grid_size)
         )(out["desc_raw"], pts)
         return pts, scores, valid, desc
 

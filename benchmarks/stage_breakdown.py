@@ -10,12 +10,12 @@ import numpy as np
 
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
-    detect_from_logits, sample_descriptors_matmul,
+    detect_from_logits, sample_descriptors_onehot,
 )
-from spnerf_tpu.ops.serving import ServingSuperPoint, _BACKBONE, _maxpool_plain
+from spnerf_tpu.ops.serving import ServingSuperPoint, _BACKBONE, _get
+from spnerf_tpu.kernels.conv12_fused_pallas import conv12_fused
 from spnerf_tpu.kernels.conv_stack_pallas import (
-    conv3x3_pallas, dot_bias_act_pallas, maxpool2x2_packed,
-    packed_conv3x3_pallas, unpack_pairs,
+    conv3x3_pallas, dot_bias_act_pallas, packed_conv3x3_pallas, unpack_pairs,
 )
 
 H, W, B = 480, 640, 64
@@ -43,34 +43,39 @@ def main():
                                  mode="int8")
 
     total = 0.0
-    # conv1
-    f = jax.jit(lambda img: sp._conv1(img, jnp.int8)[0])
+    # fused conv1+conv2+pool
+    n1 = _get(sp.params, "backbone/block1")
+    s1 = sp.act_scales["backbone/block1"]
+    w2q, ws2 = sp.weights_q["backbone/block2"]
+    s2 = sp.act_scales["backbone/block2"]
+    b2 = _get(sp.params, "backbone/block2")["bias"]
+    f = jax.jit(lambda img: conv12_fused(
+        img, n1["kernel"], jnp.full((64,), 1.0 / (127.0 * s1), jnp.float32),
+        n1["bias"] / s1, w2q, s1 * ws2 / s2, b2 / s2,
+        pool=True, out_dtype=jnp.int8))
     dt = timeit(f, x)
     total += dt
-    print(f"conv1            : {dt:7.2f} ms")
+    print(f"conv1+conv2+pool : {dt:7.2f} ms")
     act = f(x)
-    s_prev = sp.act_scales["backbone/block1"]
+    s_prev = s2
 
-    for name, packed, pool in _BACKBONE:
+    for name, packed, pool in _BACKBONE[1:]:
         w, mult, bias, s_next = sp._wmb(name, s_prev)
         if packed:
-            f = jax.jit(lambda a, w=w, m=mult, b=bias:
-                        packed_conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8))
+            f = jax.jit(lambda a, w=w, m=mult, b=bias, p=pool:
+                        packed_conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8,
+                                              pool=p))
         else:
-            f = jax.jit(lambda a, w=w, m=mult, b=bias:
-                        conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8))
+            f = jax.jit(lambda a, w=w, m=mult, b=bias, p=pool:
+                        conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8,
+                                       pool=p))
         dt = timeit(f, act)
         total += dt
-        print(f"{name:17s}: {dt:7.2f} ms  in={act.shape}")
+        tag = "+pool" if pool else "     "
+        print(f"{name}{tag}: {dt:7.2f} ms  in={act.shape}")
         act = f(act)
         if name == "backbone/block5":
             act = unpack_pairs(act)
-        if pool:
-            pf = jax.jit(maxpool2x2_packed if packed else _maxpool_plain)
-            dt = timeit(pf, act)
-            total += dt
-            print(f"  pool           : {dt:7.2f} ms")
-            act = pf(act)
         s_prev = s_next
 
     w, mult, bias, s_pa = sp._wmb("detector/convPa", s_prev)
@@ -95,7 +100,7 @@ def main():
                                                out_dtype=jnp.bfloat16))
     dt = timeit(f3, desc); total += dt
     print(f"convDb           : {dt:7.2f} ms")
-    desc_raw = f3(desc)
+    desc_raw = f3(desc)[..., :cout2]
 
     f4 = jax.jit(lambda l: detect_from_logits(l, 8, min_prob=0.015, size=4,
                                               top_k=1000, num_candidates=1024))
@@ -104,7 +109,7 @@ def main():
     pts, scores, valid = f4(logits)
 
     f5 = jax.jit(lambda d, p: jax.vmap(
-        lambda dd, pp: sample_descriptors_matmul(dd, pp, 8))(d, p))
+        lambda dd, pp: sample_descriptors_onehot(dd, pp, 8))(d, p))
     dt = timeit(f5, desc_raw, pts); total += dt
     print(f"desc sample      : {dt:7.2f} ms")
     print(f"TOTAL (sum)      : {total:7.2f} ms  -> {B / total * 1e3:.0f} fps")

@@ -64,21 +64,61 @@ def _band_inputs(x: jnp.ndarray, hb: int):
     return x.reshape(B, nb, hb, W, C), tops, bots
 
 
-def _requant(acc_f32, mult, shift_bias, relu, out_dtype):
-    """acc * mult + bias, optional ReLU, saturate-cast."""
+def _affine(acc_f32, mult, shift_bias, relu):
     y = acc_f32 * mult + shift_bias
-    if relu:
-        y = jnp.maximum(y, 0.0)
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _cast(y, out_dtype):
     if out_dtype == jnp.int8:
         y = jnp.clip(jnp.round(y), -127.0, 127.0)
     return y.astype(out_dtype)
+
+
+def _requant(acc_f32, mult, shift_bias, relu, out_dtype):
+    """acc * mult + bias, optional ReLU, saturate-cast."""
+    return _cast(_affine(acc_f32, mult, shift_bias, relu), out_dtype)
+
+
+def _pool_plain(y):
+    """In-kernel 2x2 maxpool of a plain (hb, W, C) band -> (hb/2, W/2, C).
+
+    Strided slices lower to gathers Mosaic rejects; pair selection is
+    expressed as leading/sublane-dim SPLIT reshapes + max instead (the
+    lane dim never changes, which is the Mosaic-legal direction)."""
+    hb, W, C = y.shape
+    y4 = y.reshape(hb // 2, 2, W, C)
+    y = jnp.maximum(y4[:, 0], y4[:, 1])               # row pairs
+    c4 = y.reshape(hb // 2, W // 2, 2, C)
+    return jnp.maximum(c4[:, :, 0], c4[:, :, 1])      # column pairs
+
+
+def _pool_packed(y):
+    """In-kernel 2x2 maxpool of a W-pair-packed (hb, Wp, 2C) band ->
+    packed (hb/2, Wp/2, 2C).
+
+    Each packed row holds pixel pair (2j, 2j+1) in lane halves; pooling
+    merges that pair into one output pixel, and output pair j' packs the
+    pooled pixels of input pairs (2j', 2j'+1). The lane-half max uses a
+    half-rotation (pltpu.roll; +C == -C at lane size 2C); pair selection
+    uses sublane-split reshapes (strided slices would lower to gathers)."""
+    hb, Wp, C2 = y.shape
+    C = C2 // 2
+    y4 = y.reshape(hb // 2, 2, Wp, C2)
+    y = jnp.maximum(y4[:, 0], y4[:, 1])            # row pairs
+    m = jnp.maximum(y, pltpu.roll(y, C, 2))        # lanes 0:C = pair max
+    m4 = m.reshape(hb // 2, Wp // 2, 2, C2)
+    m_even = m4[:, :, 0]
+    m_odd = m4[:, :, 1]
+    half = jax.lax.broadcasted_iota(jnp.int32, m_even.shape, 2) < C
+    return jnp.where(half, m_even, pltpu.roll(m_odd, C, 2))
 
 
 # --------------------------------------------------------------- plain conv
 
 
 def _plain_kernel(x_ref, top_ref, bot_ref, w_ref, m_ref, b_ref, o_ref,
-                  *, hb, W, Cin, Cout, relu, acc_dtype, out_dtype):
+                  *, hb, W, Cin, Cout, relu, acc_dtype, out_dtype, pool):
     rows = jnp.concatenate(
         [top_ref[0], x_ref[0, 0], bot_ref[0]], axis=0
     )  # (hb + 2, W + 2, Cin) — W pre-padded by caller
@@ -88,8 +128,11 @@ def _plain_kernel(x_ref, top_ref, bot_ref, w_ref, m_ref, b_ref, o_ref,
             xs = rows[dy:dy + hb, dx:dx + W, :]
             acc += jnp.dot(xs.reshape(hb * W, Cin), w_ref[dy * 3 + dx],
                            preferred_element_type=acc_dtype)
-    y = _requant(acc.astype(jnp.float32), m_ref[0], b_ref[0], relu, out_dtype)
-    o_ref[0, 0] = y.reshape(hb, W, Cout)
+    y = _affine(acc.astype(jnp.float32), m_ref[0], b_ref[0], relu)
+    y = y.reshape(hb, W, Cout)
+    if pool:  # pool the f32 values: max commutes with the monotone requant
+        y = _pool_plain(y)
+    o_ref[0, 0] = _cast(y, out_dtype)
 
 
 def conv3x3_pallas(
@@ -101,6 +144,7 @@ def conv3x3_pallas(
     relu: bool = True,
     out_dtype=jnp.int8,
     hb: int | None = None,
+    pool: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """3x3 SAME conv: x (B, H, W, Cin), w (3, 3, Cin, Cout) -> (B, H, W, Cout).
@@ -108,11 +152,15 @@ def conv3x3_pallas(
     ``mult``/``bias`` are per-output-channel (Cout,) f32: the output is
     ``cast(relu(acc * mult + bias))`` — for int8 serving mult carries
     s_in*s_w/s_out and bias the BN-folded bias over s_out; for bf16,
-    mult=1 and bias is the conv bias.
+    mult=1 and bias is the conv bias. ``pool=True`` fuses the reference
+    stack's 2x2 maxpool into the epilogue -> (B, H/2, W/2, Cout),
+    saving the full-size activation's HBM round trip.
     """
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     hb = hb or _pick_hb(H, W, Cout)
+    if pool and hb % 2:
+        hb = 2 if H % 2 == 0 else hb
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nb = H // hb
@@ -121,8 +169,9 @@ def conv3x3_pallas(
     acc_dtype = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
     kern = functools.partial(
         _plain_kernel, hb=hb, W=W, Cin=Cin, Cout=Cout, relu=relu,
-        acc_dtype=acc_dtype, out_dtype=out_dtype,
+        acc_dtype=acc_dtype, out_dtype=out_dtype, pool=pool,
     )
+    ho, wo = (hb // 2, W // 2) if pool else (hb, W)
     out = pl.pallas_call(
         kern,
         grid=(B, nb),
@@ -137,14 +186,14 @@ def conv3x3_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hb, W, Cout), lambda b, i: (b, i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, ho, wo, Cout), lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb, hb, W, Cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nb, ho, wo, Cout), out_dtype),
         interpret=interpret,
     )(core, tops, bots, w.reshape(9, Cin, Cout),
       mult.reshape(1, Cout).astype(jnp.float32),
       bias.reshape(1, Cout).astype(jnp.float32))
-    return out.reshape(B, H, W, Cout)
+    return out.reshape(B, nb * ho, wo, Cout)
 
 
 # -------------------------------------------------------------- packed conv
@@ -188,7 +237,8 @@ def pack_weights_side(w_dy: jnp.ndarray) -> jnp.ndarray:
 
 
 def _packed_kernel(x_ref, top_ref, bot_ref, wc_ref, ws_ref, m_ref, b_ref,
-                   o_ref, *, hb, Wp, C2, Co2, relu, acc_dtype, out_dtype):
+                   o_ref, *, hb, Wp, C2, Co2, relu, acc_dtype, out_dtype,
+                   pool):
     # x block is (1, 1, hb(+halos), Wp + 2, C2): Wp pre-padded with one
     # zero PAIR on each side.
     rows = jnp.concatenate(
@@ -207,8 +257,11 @@ def _packed_kernel(x_ref, top_ref, bot_ref, wc_ref, ws_ref, m_ref, b_ref,
         combined = jnp.where(half, right, left)
         acc += jnp.dot(center, wc_ref[dy], preferred_element_type=acc_dtype)
         acc += jnp.dot(combined, ws_ref[dy], preferred_element_type=acc_dtype)
-    y = _requant(acc.astype(jnp.float32), m_ref[0], b_ref[0], relu, out_dtype)
-    o_ref[0, 0] = y.reshape(hb, Wp, Co2)
+    y = _affine(acc.astype(jnp.float32), m_ref[0], b_ref[0], relu)
+    y = y.reshape(hb, Wp, Co2)
+    if pool:  # pool the f32 values: max commutes with the monotone requant
+        y = _pool_packed(y)
+    o_ref[0, 0] = _cast(y, out_dtype)
 
 
 def packed_conv3x3_pallas(
@@ -220,19 +273,24 @@ def packed_conv3x3_pallas(
     relu: bool = True,
     out_dtype=jnp.int8,
     hb: int | None = None,
+    pool: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """3x3 SAME conv on W-pair-packed activations.
 
     xp: (B, H, Wp, 2C) packed pairs (``pack_pairs`` of (B, H, 2Wp, C)).
     w: (3, 3, C, Cout) ordinary conv weights.
-    Returns packed output (B, H, Wp, 2*Cout).
+    Returns packed output (B, H, Wp, 2*Cout); with ``pool=True`` the
+    2x2 maxpool is fused into the epilogue -> packed (B, H/2, Wp/2,
+    2*Cout), never writing the pre-pool activation to HBM.
     """
     B, H, Wp, C2 = xp.shape
     C = C2 // 2
     Cout = w.shape[-1]
     Co2 = 2 * Cout
     hb = hb or _pick_hb(H, Wp, Co2)
+    if pool and hb % 2:
+        hb = 2 if H % 2 == 0 else hb
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nb = H // hb
@@ -245,8 +303,9 @@ def packed_conv3x3_pallas(
     b2 = jnp.concatenate([bias, bias]).reshape(1, Co2).astype(jnp.float32)
     kern = functools.partial(
         _packed_kernel, hb=hb, Wp=Wp, C2=C2, Co2=Co2, relu=relu,
-        acc_dtype=acc_dtype, out_dtype=out_dtype,
+        acc_dtype=acc_dtype, out_dtype=out_dtype, pool=pool,
     )
+    ho, wo = (hb // 2, Wp // 2) if pool else (hb, Wp)
     out = pl.pallas_call(
         kern,
         grid=(B, nb),
@@ -262,12 +321,12 @@ def packed_conv3x3_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hb, Wp, Co2), lambda b, i: (b, i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, ho, wo, Co2), lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nb, hb, Wp, Co2), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nb, ho, wo, Co2), out_dtype),
         interpret=interpret,
     )(core, tops, bots, wc, ws, m2, b2)
-    return out.reshape(B, H, Wp, Co2)
+    return out.reshape(B, nb * ho, wo, Co2)
 
 
 # ------------------------------------------------------------- 1x1 convs

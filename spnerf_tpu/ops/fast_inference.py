@@ -135,6 +135,35 @@ def _axis_weight_matrix(coord: jnp.ndarray, n: int, grid_size: int):
     return jnp.einsum("kt,ktn->kn", w, onehot)
 
 
+def sample_descriptors_onehot(
+    desc_raw: jnp.ndarray,
+    points: jnp.ndarray,
+    grid_size: int = 8,
+    normalize: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Bicubic descriptor interpolation at (K, 2) points as ONE matmul.
+
+    The separable form (``sample_descriptors_matmul``) exposes a
+    (K, Wc, C) intermediate that XLA materializes when batched — at
+    batch 64 / K=1000 that is GBs of HBM traffic. Here the y/x cubic
+    weights combine into a (K, Hc*Wc) interpolation matrix (16 nonzero
+    taps per row) and descriptors come from a single
+    (K, Hc*Wc) @ (Hc*Wc, C) MXU contraction. Same geometry as the
+    reference's dense bicubic x8 upsample sampled at keypoints
+    (heads.py:65-67)."""
+    Hc, Wc, C = desc_raw.shape
+    Wy = _axis_weight_matrix(points[:, 0], Hc, grid_size)
+    Wx = _axis_weight_matrix(points[:, 1], Wc, grid_size)
+    W2 = (Wy[:, :, None] * Wx[:, None, :]).reshape(Wy.shape[0], Hc * Wc)
+    out = jnp.dot(W2.astype(compute_dtype),
+                  desc_raw.reshape(Hc * Wc, C).astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    if normalize:
+        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
+    return out
+
+
 def sample_descriptors_matmul(
     desc_raw: jnp.ndarray,
     points: jnp.ndarray,

@@ -30,11 +30,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from spnerf_tpu.kernels.conv12_fused_pallas import conv12_fused
 from spnerf_tpu.kernels.conv_stack_pallas import (
     conv1_packed,
     conv3x3_pallas,
     dot_bias_act_pallas,
-    maxpool2x2_packed,
     packed_conv3x3_pallas,
     unpack_pairs,
 )
@@ -241,18 +241,41 @@ class ServingSuperPoint:
 
     def __call__(self, image):
         act = jnp.int8 if self.mode == "int8" else jnp.bfloat16
-        x, s_prev = self._conv1(image, act)
+        backbone = _BACKBONE
+        if self.mode == "int8":
+            # image -> conv1 -> conv2 -> pool in ONE kernel: the two
+            # full-resolution layers never touch HBM (see
+            # kernels/conv12_fused_pallas.py)
+            n1 = _get(self.params, "backbone/block1")
+            s1 = self.act_scales["backbone/block1"]
+            w2q, ws2 = self.weights_q["backbone/block2"]
+            s2 = self.act_scales["backbone/block2"]
+            b2 = _get(self.params, "backbone/block2")["bias"]
+            x = conv12_fused(
+                image,
+                n1["kernel"],
+                jnp.full((64,), 1.0 / (127.0 * s1), jnp.float32),
+                n1["bias"] / s1,
+                w2q, s1 * ws2 / s2, b2 / s2,
+                pool=True, out_dtype=jnp.int8,
+            )
+            s_prev = s2
+            backbone = _BACKBONE[1:]
+        else:
+            x, s_prev = self._conv1(image, act)
 
-        for name, packed, pool in _BACKBONE:
+        for name, packed, pool in backbone:
             w, mult, bias, s_prev = self._wmb(name, s_prev)
+            # the stack's 2x2 maxpools fuse into the conv epilogues, so
+            # pre-pool activations never round-trip through HBM
             if packed:
-                x = packed_conv3x3_pallas(x, w, mult, bias, out_dtype=act)
+                x = packed_conv3x3_pallas(x, w, mult, bias, out_dtype=act,
+                                          pool=pool)
             else:
-                x = conv3x3_pallas(x, w, mult, bias, out_dtype=act)
+                x = conv3x3_pallas(x, w, mult, bias, out_dtype=act,
+                                   pool=pool)
             if name == "backbone/block5":
                 x = unpack_pairs(x)     # (B, 120, 160, 128) plain from here
-            if pool:
-                x = maxpool2x2_packed(x) if packed else _maxpool_plain(x)
 
         w, mult, bias, s_pa = self._wmb("detector/convPa", s_prev)
         det = conv3x3_pallas(x, w, mult, bias, out_dtype=act)

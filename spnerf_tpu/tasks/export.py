@@ -38,12 +38,38 @@ def _nms_threshold_points(prob_nms: np.ndarray, det_thresh: float) -> np.ndarray
     return np.argwhere(prob_nms >= det_thresh).astype(np.int64)
 
 
-def make_prob_fn(model: SuperPoint, variables):
-    """(B, H, W, 1) -> (B, H, W) decoded probability heatmap, jittable."""
+def make_prob_fn(model: SuperPoint, variables, fast: bool = False):
+    """(B, H, W, 1) -> (B, H, W) decoded probability heatmap, jittable.
+
+    ``fast=True`` folds BatchNorm into the convs and runs the forward in
+    bf16 — the production export graph (HA export is the pipeline's
+    throughput bottleneck: 100 forwards x ~118k COCO images per round,
+    reference export.py:83-114). Decode stays f32.
+    """
+    if not fast:
+        def prob_fn(image):
+            out = model.apply(variables, image, train=False)
+            return decode_detector_logits(out["logits"], model.config.grid_size)
+
+        return prob_fn
+
+    import dataclasses
+
+    from spnerf_tpu.models.superpoint import fold_batch_norm
+
+    folded = fold_batch_norm(variables)
+    bf16_vars = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        folded,
+    )
+    infer_model = SuperPoint(
+        dataclasses.replace(model.config, use_bn=False))
 
     def prob_fn(image):
-        out = model.apply(variables, image, train=False)
-        return decode_detector_logits(out["logits"], model.config.grid_size)
+        out = infer_model.apply(bf16_vars, image.astype(jnp.bfloat16),
+                                train=False)
+        return decode_detector_logits(out["logits"].astype(jnp.float32),
+                                      model.config.grid_size)
 
     return prob_fn
 
@@ -56,16 +82,35 @@ def export_pseudo_labels(
     split: str = "training",
     enable_ha: bool = True,
     seed: int = 0,
+    mesh=None,
+    fast: bool = True,
 ) -> Path:
     """Homographic-adaptation pseudo-label export (reference
-    export.py:17-131)."""
+    export.py:17-131).
+
+    ``fast`` runs the forward through the BN-folded bf16 graph (the
+    export is inference-only; numerics match the trained model to bf16
+    tolerance and the decoded heatmaps feed an aggregation + NMS that is
+    insensitive at that scale). ``mesh`` shards each image batch over
+    the mesh's "data" axis — HA export is embarrassingly data-parallel
+    (every image is independent), so artifacts are bit-identical to the
+    single-device run.
+    """
     exper = config["data"]["experiment_name"]
     out_dir = Path(EXPER_PATH, "outputs", exper, split)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     det_cfg = config["model"]["detector_head"]
     ha_cfg = HAConfig.from_dict(config.get("homography_adaptation", {}))
-    prob_fn = make_prob_fn(model, variables)
+    prob_fn = make_prob_fn(model, variables, fast=fast)
+
+    n_shard = 1
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_shard = mesh.devices.size
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     @jax.jit
     def plain_heatmap(image):
@@ -88,12 +133,19 @@ def export_pseudo_labels(
         if not todo:
             continue
         image = jnp.asarray(batch["image"])
+        n_real = image.shape[0]
+        pad = (-n_real) % n_shard
+        if pad:  # pad to a shardable batch; padded rows are discarded
+            image = jnp.concatenate(
+                [image, jnp.repeat(image[-1:], pad, axis=0)], axis=0)
+        if batch_sharding is not None:
+            image = jax.device_put(image, batch_sharding)
         if enable_ha:
             key, sub = jax.random.split(key)
             prob = homography_adaptation(prob_fn, image, sub, ha_cfg)
         else:
             prob = plain_heatmap(image)
-        prob_nms = np.asarray(nms_heatmap(prob))
+        prob_nms = np.asarray(nms_heatmap(prob))[:n_real]
         for i in todo:
             pred = _nms_threshold_points(prob_nms[i], det_cfg["det_thresh"])
             np.save(out_dir / f"{names[i]}.npy", pred)

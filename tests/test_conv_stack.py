@@ -127,3 +127,28 @@ def test_maxpool_packed(rng):
     ).astype(jnp.int8)
     out = unpack_pairs(maxpool2x2_packed(pack_pairs(x)))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pooled_ref))
+
+
+def test_plain_conv_fused_pool(rng):
+    x = jnp.asarray(rng.integers(-5, 5, (2, 8, 16, 128)), jnp.int8)
+    w = jnp.asarray(rng.integers(-3, 3, (3, 3, 128, 128)), jnp.int8)
+    mult = jnp.full((128,), 0.02, jnp.float32)
+    bias = jnp.zeros((128,), jnp.float32)
+    full = conv3x3_pallas(x, w, mult, bias, out_dtype=jnp.int8)
+    pooled = conv3x3_pallas(x, w, mult, bias, out_dtype=jnp.int8, pool=True)
+    ref = np.asarray(full).reshape(2, 4, 2, 8, 2, 128).max(axis=(2, 4))
+    np.testing.assert_array_equal(np.asarray(pooled), ref)
+
+
+def test_packed_conv_fused_pool(rng):
+    x = jnp.asarray(rng.integers(-5, 5, (2, 8, 16, 64)), jnp.int8)
+    w = jnp.asarray(rng.integers(-3, 3, (3, 3, 64, 64)), jnp.int8)
+    mult = jnp.full((64,), 0.02, jnp.float32)
+    bias = jnp.zeros((64,), jnp.float32)
+    xp = pack_pairs(x)
+    full = unpack_pairs(
+        packed_conv3x3_pallas(xp, w, mult, bias, out_dtype=jnp.int8))
+    pooled = unpack_pairs(packed_conv3x3_pallas(
+        xp, w, mult, bias, out_dtype=jnp.int8, pool=True))
+    ref = np.asarray(full).reshape(2, 4, 2, 8, 2, 64).max(axis=(2, 4))
+    np.testing.assert_array_equal(np.asarray(pooled), ref)

@@ -94,3 +94,14 @@ def test_detect_from_logits_matches_decode_path(rng):
     np.testing.assert_allclose(np.asarray(p1)[m], np.asarray(p2)[m])
     np.testing.assert_allclose(np.asarray(s1)[m], np.asarray(s2)[m],
                                rtol=1e-6)
+
+
+def test_sample_descriptors_onehot_matches_separable(rng):
+    from spnerf_tpu.ops.fast_inference import sample_descriptors_onehot
+
+    desc = jnp.asarray(rng.standard_normal((6, 8, 32)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, [47, 63], (10, 2)), jnp.float32)
+    a = sample_descriptors_matmul(desc, pts, 8)
+    b = sample_descriptors_onehot(desc, pts, 8, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
