@@ -23,6 +23,9 @@ import json
 import os
 import time
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 import jax
 import jax.numpy as jnp
 

@@ -15,6 +15,9 @@ Prints one JSON line {"metric": "nerf_render_rays_per_sec", ...}.
 import json
 import time
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,11 +47,14 @@ def main():
     oe, de = encode_rays(o, d, A, c)
     df = direction_features(params, d, A, c)
 
+    block = int(os.environ.get("SPNERF_RENDER_BLOCK", "256"))
+
     @jax.jit
     def render(oe, de, df):
         return render_fused(
             oe, de, params["w1"], params["w2"], params["w3"], df,
             jitter=0.5, n_samples=cfg.n_samples, near=cfg.near, far=cfg.far,
+            block=block,
         )
 
     np.asarray(render(oe, de, df)[0][:1])  # compile + materialize

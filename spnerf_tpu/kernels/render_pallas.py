@@ -41,7 +41,7 @@ HID = 128  # MLP width
 
 
 def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
-            ssel_ref, out_ref, depth_ref, enc_scr, h_scr, head_scr,
+            out_ref, depth_ref, enc_scr, h_scr, head_scr, sig_scr,
             *, n_samples, near, far, block):
     """Sample-batched: all R*S sample encodings are built first, the MLP
     runs as three LARGE matmuls (M = R*S), then compositing walks the
@@ -52,11 +52,20 @@ def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
     de = de_ref[...]
     R = block
 
+    # sin(oe + t_s de) by angle rotation: 4 transcendentals per BLOCK
+    # (sin/cos of the start phase and of the per-lane step d*de), then
+    # 4 FMAs per sample instead of a VPU sine each — the sine loop was
+    # ~30% of block time.
+    t0 = near + jitter * dt
+    u = jnp.sin(oe + t0 * de)
+    v = jnp.cos(oe + t0 * de)
+    sd = jnp.sin(dt * de)
+    cd = jnp.cos(dt * de)
     for s in range(n_samples):
-        t_s = near + (s + jitter) * dt
-        enc_scr[pl.ds(s * R, R), :] = jnp.sin(oe + t_s * de).astype(
-            enc_scr.dtype
-        )
+        enc_scr[pl.ds(s * R, R), :] = u.astype(enc_scr.dtype)
+        un = u * cd + v * sd
+        v = v * cd - u * sd
+        u = un
 
     mm = enc_scr.dtype
     h_scr[...] = jnp.maximum(
@@ -68,34 +77,33 @@ def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
     head_scr[...] = jnp.dot(h_scr[...], w2_ref[...],
                             preferred_element_type=jnp.float32)
     df = df_ref[...].astype(jnp.float32)
-    for s in range(n_samples):
-        h_scr[pl.ds(s * block, block), :] = jnp.maximum(
-            head_scr[pl.ds(s * block, block), :] + df, 0.0
-        ).astype(mm)
+    df_all = jnp.broadcast_to(df[None], (n_samples, block, HID)).reshape(
+        n_samples * block, HID)
+    h_scr[...] = jnp.maximum(head_scr[...] + df_all, 0.0).astype(mm)
     head_scr[...] = jnp.dot(h_scr[...], w3_ref[...],
                             preferred_element_type=jnp.float32)
-    # one-shot over all samples: sigma broadcast (one big selector
-    # matmul) reusing h_scr, and in-place sigmoid of the head
-    h_scr[...] = jnp.dot(head_scr[...].astype(h_scr.dtype), ssel_ref[...],
-                         preferred_element_type=jnp.float32).astype(
-                             h_scr.dtype)
+    # stash raw sigma (head column 0) before the in-place sigmoid; the
+    # compositing recursion then runs on (R, 1) per-ray scalars — the
+    # per-sample exp costs 1 lane instead of 128, and the old 128-wide
+    # sigma-broadcast selector matmul (25% of MXU work) is gone
+    sig_scr[...] = head_scr[:, 0:1]
     head_scr[...] = jax.nn.sigmoid(head_scr[...])
 
     rgb_acc = jnp.zeros((R, HID), jnp.float32)
-    depth_acc = jnp.zeros((R, HID), jnp.float32)
-    trans = jnp.ones((R, HID), jnp.float32)
+    depth_acc = jnp.zeros((R, 1), jnp.float32)
+    trans = jnp.ones((R, 1), jnp.float32)
     for s in range(n_samples):
         t_s = near + (s + jitter) * dt
-        sigma = h_scr[pl.ds(s * R, R), :].astype(jnp.float32)
+        sigma = sig_scr[pl.ds(s * R, R), :]
         alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dt)
-        rgb = head_scr[pl.ds(s * R, R), :]
         w = trans * alpha
-        rgb_acc = rgb_acc + w * rgb
+        rgb_acc = rgb_acc + jnp.broadcast_to(w, (R, HID)) * \
+            head_scr[pl.ds(s * R, R), :]
         depth_acc = depth_acc + w * t_s
         trans = trans * (1.0 - alpha)
 
     out_ref[...] = rgb_acc
-    depth_ref[...] = depth_acc
+    depth_ref[...] = jnp.broadcast_to(depth_acc, (R, HID))
 
 
 @functools.partial(
@@ -131,9 +139,6 @@ def render_fused(
     df = jnp.pad(df, ((0, pad), (0, 0)))
     n_blocks = (N + pad) // block
 
-    ssel = np.zeros((HID, HID), np.float32)
-    ssel[0, :] = 1.0  # broadcast column 0 everywhere
-
     kernel = functools.partial(
         _kernel, n_samples=n_samples, near=near, far=far, block=block,
     )
@@ -148,8 +153,6 @@ def render_fused(
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HID, HID), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HID, HID), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -172,10 +175,11 @@ def render_fused(
             pltpu.VMEM((block * n_samples, ENC), w1.dtype),
             pltpu.VMEM((block * n_samples, HID), w1.dtype),
             pltpu.VMEM((block * n_samples, HID), jnp.float32),
+            pltpu.VMEM((block * n_samples, 1), jnp.float32),
         ],
         interpret=interpret,
     )(jit_arr, oe, de, df, jnp.asarray(w1), jnp.asarray(w2),
-      jnp.asarray(w3), jnp.asarray(ssel))
+      jnp.asarray(w3))
 
     rgb = rgb_w[:N, 1:4]
     depth = depth_w[:N, 0]
