@@ -34,7 +34,8 @@ from spnerf_tpu.models.nerf import (
 from spnerf_tpu.settings import DATA_PATH
 
 
-@partial(jax.jit, static_argnames=("model", "tx"), donate_argnames=("params", "opt_state"))
+@partial(jax.jit, static_argnames=("model", "tx", "config_static"),
+         donate_argnames=("params", "opt_state"))
 def nerf_train_step(model, params, opt_state, tx, key, origins, dirs, target_rgb,
                     config_static):
     """One photometric MSE step over a ray batch (coarse + fine)."""

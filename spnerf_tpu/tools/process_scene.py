@@ -87,6 +87,10 @@ def main(argv=None):
     p.add_argument("--scene-name", default=None)
     p.add_argument("--fps", type=int, default=2)
     p.add_argument("--train-iters", type=int, default=20000)
+    p.add_argument("--nerf-preset", choices=("full", "light", "tiny"),
+                   default="full",
+                   help="field size: full=8x256 (quality), light=4x128, "
+                        "tiny=2x64 (smoke tests)")
     p.add_argument("--render-size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--n-novel-views", type=int, default=120)
     args = p.parse_args(argv)
@@ -132,7 +136,12 @@ def main(argv=None):
     poses_cv = np.asarray(jnp.stack([nerfstudio_to_cv(jnp.asarray(p))
                                      for p in poses]))
     K = camera_intrinsics((H, W), fov)
-    config = NeRFConfig()
+    presets = {
+        "full": NeRFConfig(),
+        "light": NeRFConfig(depth=4, width=128, n_coarse=32, n_fine=32),
+        "tiny": NeRFConfig(depth=2, width=64, n_coarse=12, n_fine=12),
+    }
+    config = presets[args.nerf_preset]
     model, params, history = train_nerf_scene(
         imgs, poses_cv, K, config, num_iters=args.train_iters,
     )
