@@ -84,6 +84,9 @@ def main(iters=1500):
     for i in range(iters):
         key, sub = jax.random.split(key)
         params, opt, loss = step(params, opt, sub)
+        if i == 0:
+            print(f"first step (compile) {time.perf_counter() - t0:.1f}s",
+                  flush=True)
     loss = float(loss)
     print(f"trained {iters} iters in {time.perf_counter() - t0:.1f}s, "
           f"final loss {loss:.5f}")
