@@ -30,7 +30,9 @@ def main():
                                        (1, H, W, 1))
     ha_cfg = HAConfig.from_dict({"num": 100, "chunk": 10})
 
-    for batch, fast in ((8, False), (8, True), (32, True)):
+    # fp32 unfused (the round-1 7.9 img/s configuration) can be added
+    # back with (8, False); the fast bf16 path is the production one
+    for batch, fast in ((16, True), (32, True)):
         prob_fn = make_prob_fn(model, variables, fast=fast)
         x = jax.random.uniform(jax.random.PRNGKey(1), (batch, H, W, 1))
 
