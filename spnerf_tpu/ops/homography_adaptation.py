@@ -88,7 +88,10 @@ def homography_adaptation(
         Hs = jax.vmap(lambda k: sample_homography(k, (H, W), cfg.params))(ks)
         H_inv = jnp.linalg.inv(Hs)
 
-        warped = warp_image_matmul(img_tiled, Hs)
+        # bf16 warps: the two Hi*Wi*Ho*Wo interpolation matmuls are ~88%
+        # of HA compute; bf16 operands take them from multi-pass f32
+        # emulation to one MXU pass (see warp_image_matmul)
+        warped = warp_image_matmul(img_tiled, Hs, compute_dtype=jnp.bfloat16)
         # analytic validity masks (no gathers): mask lives in the warped
         # frame (uses H), count in the original frame (uses H^-1)
         mask = compute_valid_mask((H, W), Hs, cfg.valid_border_margin)
@@ -97,7 +100,8 @@ def homography_adaptation(
         count = count.astype(jnp.float32)
 
         prob = prob_fn(warped) * mask  # (chunk*B, H, W)
-        prob_proj = warp_image_matmul(prob[..., None], H_inv)[..., 0]
+        prob_proj = warp_image_matmul(prob[..., None], H_inv,
+                                      compute_dtype=jnp.bfloat16)[..., 0]
         prob_proj = prob_proj * count
 
         alive_b = jnp.repeat(alive, B)[:, None, None]

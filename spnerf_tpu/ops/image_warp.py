@@ -177,6 +177,7 @@ def warp_image_matmul(
     homography: jnp.ndarray,
     out_shape: tuple[int, int] | None = None,
     row_tile: int = 16,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Bilinear homography warp as one-hot interpolation matmuls.
 
@@ -194,6 +195,12 @@ def warp_image_matmul(
     for batched augmentation / homographic-adaptation fan-outs.
 
     Grayscale (C=1) only — the channel dim is folded into the matmul.
+
+    ``compute_dtype=jnp.bfloat16`` runs the Hi-wide interpolation matmul
+    with bf16 operands (f32 accumulation): one MXU pass instead of the
+    multi-pass f32 emulation — ~6x faster on v5e, with ~3-decimal-digit
+    weight precision (plenty for [0,1] images and probability maps; the
+    default stays exact-f32 for the parity tests).
     """
     B, Hi, Wi, C = image.shape
     assert C == 1, "matmul warp is specialized for single-channel images"
@@ -219,11 +226,16 @@ def warp_image_matmul(
         sy = src[..., 1] / src[..., 2]
         wx = jax.nn.relu(1.0 - jnp.abs(sx[..., None] - x_grid))  # (B,T,Wo,Wi)
         wy = jax.nn.relu(1.0 - jnp.abs(sy[..., None] - y_grid))  # (B,T,Wo,Hi)
-        # (B, T*Wo, Wi) @ (B, Wi, Hi) -> (B, T*Wo, Hi); full-f32 matmul so
-        # interpolation weights aren't rounded to bf16
-        t = jnp.matmul(wx.reshape(B, row_tile * Wo, Wi), img_t,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+        if compute_dtype == jnp.float32:
+            # full-f32 matmul so interpolation weights aren't rounded
+            t = jnp.matmul(wx.reshape(B, row_tile * Wo, Wi), img_t,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        else:
+            t = jnp.matmul(
+                wx.reshape(B, row_tile * Wo, Wi).astype(compute_dtype),
+                img_t.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
         out = jnp.sum(wy.reshape(B, row_tile * Wo, Hi) * t, axis=-1)
         return out.reshape(B, row_tile, Wo)
 

@@ -30,3 +30,15 @@ def test_matmul_warp_translation_zero_pads():
     out = np.asarray(warp_image_matmul(img, H))[0, ..., 0]
     assert out[:, :4].max() < 1e-6  # shifted-in region is zero
     assert out[:, 6:].min() > 0.99
+
+
+def test_warp_matmul_bf16_close_to_f32():
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((2, 48, 64, 1)), jnp.float32)
+    H = jnp.asarray([np.eye(3), [[0.9, 0.1, 3.0], [-0.05, 1.05, -2.0],
+                                 [1e-4, -5e-5, 1.0]]], jnp.float32)
+    a = warp_image_matmul(img, H)
+    b = warp_image_matmul(img, H, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=0)
+    assert float(jnp.mean(jnp.abs(a - b))) < 3e-3
