@@ -9,6 +9,7 @@ set -e
 cd "$(dirname "$0")/.."
 export SPNERF_ROOT="${SPNERF_ROOT:-/root/repo/runs}"
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax}"
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LEG="${1:-all}"
 
 run_leg() {
