@@ -24,7 +24,7 @@ from spnerf_tpu.data.loader import DataLoader
 from spnerf_tpu.eval.descriptor import compute_homography_estimation
 from spnerf_tpu.eval.detector import repeatability_pair
 from spnerf_tpu.models.superpoint import superpoint_inference
-from spnerf_tpu.utils.config import load_config
+from spnerf_tpu.utils.config import apply_overrides, load_config
 
 
 def _build(config):
@@ -99,8 +99,12 @@ def main(argv=None):
     p.add_argument("--k-points", type=int, default=None)
     p.add_argument("--distance-thresh", type=int, default=3)
     p.add_argument("--correctness-thresh", type=float, default=3.0)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY.PATH=VALUE",
+                   help="override a config key by dotted path (same "
+                        "semantics as the main CLI)")
     args = p.parse_args(argv)
-    config = load_config(args.config_path)
+    config = apply_overrides(load_config(args.config_path), args.overrides)
     if args.mode == "repeatability":
         return run_repeatability(config, args.k_points or 300,
                                  args.distance_thresh)
