@@ -41,9 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_hb(H: int, W: int, Cout: int, cap: int = 32) -> int:
+def _pick_hb(H: int, W: int, Cout: int, cap: int = 48) -> int:
     """Largest divisor of H (<= cap) whose f32 accumulator fits ~5 MB of
-    VMEM; micro_conv3.py measured Hb=16 at 56-92 int8 GMAC/s."""
+    VMEM; the round-2 hb sweep (/tmp-era micro-bench, see PERF) showed
+    throughput still rising slightly through hb=48."""
     budget = 5 * 1024 * 1024
     best = 1
     for hb in range(1, min(H, cap) + 1):
