@@ -23,7 +23,6 @@ import json
 import os
 import time
 
-import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import jax

@@ -22,6 +22,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data import synthetic_draw as sd
+from spnerf_tpu.data.rng import stable_seed as hash_str
 from spnerf_tpu.settings import DATA_PATH
 
 PRIMS = [
@@ -52,33 +53,47 @@ def random_pixel_homography(rng, h, w, strength=0.15):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-coco", type=int, default=400)
-    ap.add_argument("--n-hpatches", type=int, default=12)
+    ap.add_argument("--n-coco", type=int, default=5000)
+    ap.add_argument("--n-hpatches", type=int, default=30)
+    ap.add_argument("--strength", type=float, default=0.15,
+                    help="viewpoint difficulty (FIXED benchmark "
+                         "parameter — do not change between rounds)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    rng = np.random.default_rng(args.seed)
+    # Independent per-section streams: each image/scene is a pure
+    # function of (seed, section, index), so growing one section never
+    # reshuffles another — benchmark scenes stay fixed across corpus
+    # rescales and rounds.
+    def stream(section, index):
+        return np.random.default_rng((args.seed, hash_str(section), index))
 
     coco_dir = Path(DATA_PATH, "COCO", "images", "training")
     coco_dir.mkdir(parents=True, exist_ok=True)
     for i in range(args.n_coco):
-        cv2.imwrite(str(coco_dir / f"demo_{i:05d}.jpg"),
-                    make_composite(rng))
+        out = coco_dir / f"demo_{i:05d}.jpg"
+        if not out.exists():
+            cv2.imwrite(str(out), make_composite(stream("coco_train", i)))
     print(f"wrote {args.n_coco} stand-in COCO images -> {coco_dir}")
 
     val_dir = Path(DATA_PATH, "COCO", "images", "validation")
     val_dir.mkdir(parents=True, exist_ok=True)
     for i in range(max(8, args.n_coco // 20)):
-        cv2.imwrite(str(val_dir / f"demo_{i:05d}.jpg"), make_composite(rng))
+        out = val_dir / f"demo_{i:05d}.jpg"
+        if not out.exists():
+            cv2.imwrite(str(out), make_composite(stream("coco_val", i)))
 
     hp_root = Path(DATA_PATH, "HPatches")
     for s in range(args.n_hpatches):
         scene = hp_root / f"v_demo{s:02d}"
+        if (scene / "H_1_6").exists():
+            continue
         scene.mkdir(parents=True, exist_ok=True)
+        rng = stream("hpatches", s)
         base = make_composite(rng)
         h, w = base.shape
         cv2.imwrite(str(scene / "1.jpg"), base)
         for i in range(2, 7):
-            H = random_pixel_homography(rng, h, w)
+            H = random_pixel_homography(rng, h, w, strength=args.strength)
             warped = cv2.warpPerspective(base, H, (w, h),
                                          flags=cv2.INTER_LINEAR)
             cv2.imwrite(str(scene / f"{i}.jpg"), warped)

@@ -22,7 +22,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
-from spnerf_tpu.data.rng import ThreadLocalRNG
+from spnerf_tpu.data.rng import ThreadLocalRNG, stable_seed
 from spnerf_tpu.data.preprocessing import ratio_preserving_resize
 from spnerf_tpu.settings import DATA_PATH, EXPER_PATH
 
@@ -41,7 +41,7 @@ class COCO:
         photo = self.config.get("augmentation", {}).get("photometric", {})
         self.photometric = PhotometricAug(photo) if photo.get("enable") else None
         self.warped_pair = bool(self.config.get("warped_pair"))
-        self._rng = ThreadLocalRNG(hash(self.split) % 2**31)
+        self._rng = ThreadLocalRNG(stable_seed("coco", self.split))
 
     def _init_dataset(self):
         data_dir = Path(DATA_PATH, self.config.get("name", "COCO"), "images", self.split)

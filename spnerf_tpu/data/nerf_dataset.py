@@ -24,7 +24,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
-from spnerf_tpu.data.rng import ThreadLocalRNG
+from spnerf_tpu.data.rng import ThreadLocalRNG, stable_seed
 from spnerf_tpu.settings import DATA_PATH, EXPER_PATH
 
 MAX_KPTS = 1024
@@ -54,7 +54,7 @@ class NeRFDataset:
         photo = self.config.get("augmentation", {}).get("photometric", {})
         self.photometric = PhotometricAug(photo) if photo.get("enable") else None
         self.warped_pair = bool(self.config.get("warped_pair"))
-        self._rng = ThreadLocalRNG(hash((self.split, "nerf")) % 2**31)
+        self._rng = ThreadLocalRNG(stable_seed("nerf", self.split))
 
     def _init_dataset(self):
         scene = Path(DATA_PATH, self.config.get("name", "NeRF"),

@@ -3,8 +3,16 @@
 from __future__ import annotations
 
 import threading
+import zlib
 
 import numpy as np
+
+
+def stable_seed(*parts) -> int:
+    """Process-independent seed from strings/ints (unlike Python ``hash``,
+    which is salted per process by PYTHONHASHSEED and breaks cross-run
+    reproducibility of data augmentation)."""
+    return zlib.crc32("/".join(str(p) for p in parts).encode()) % 2**31
 
 
 class ThreadLocalRNG:

@@ -21,7 +21,7 @@ import cv2
 import numpy as np
 
 from spnerf_tpu.data.photometric import PhotometricAug
-from spnerf_tpu.data.rng import ThreadLocalRNG
+from spnerf_tpu.data.rng import ThreadLocalRNG, stable_seed
 from spnerf_tpu.data.synthetic_draw import PRIMITIVES, generate_sample
 from spnerf_tpu.settings import DATA_PATH
 from spnerf_tpu.utils.config import dict_update, parse_primitives
@@ -68,7 +68,7 @@ class SyntheticShapes:
         photo_cfg = self.config["augmentation"]["photometric"]
         self.photometric = PhotometricAug(photo_cfg) if photo_cfg.get("enable") else None
         self._rng = ThreadLocalRNG(
-            self.config["generation"]["random_seed"] + hash(self.split) % 10000
+            self.config["generation"]["random_seed"] + stable_seed(self.split) % 10000
         )
 
     # ---------------------------------------------------------------- gen

@@ -3,9 +3,8 @@ score.
 
 Counterpart of reference evaluations/descriptor_evaluation.py:17-163.
 Mutual-nearest-neighbor (cross-check) matching is a dense distance
-matrix + argmin both ways — numpy here; eval/matching.py provides the
-same op as a JAX matmul for on-device use. RANSAC homography stays on
-cv2 (classical CV, host-side by design).
+matrix + argmin both ways — numpy here, host-side by design, like the
+RANSAC homography (cv2 classical CV).
 """
 
 from __future__ import annotations

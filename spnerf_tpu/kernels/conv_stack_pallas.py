@@ -162,6 +162,10 @@ def conv3x3_pallas(
     hb = hb or _pick_hb(H, W, Cout)
     if pool and hb % 2:
         hb = 2 if H % 2 == 0 else hb
+    if H % hb != 0 or (pool and (hb % 2 or W % 2)):
+        raise ValueError(
+            f"conv3x3_pallas: H={H} not divisible by band hb={hb}"
+            + (f" (pool=True also needs even hb/W, W={W})" if pool else ""))
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nb = H // hb
@@ -292,6 +296,10 @@ def packed_conv3x3_pallas(
     hb = hb or _pick_hb(H, Wp, Co2)
     if pool and hb % 2:
         hb = 2 if H % 2 == 0 else hb
+    if H % hb != 0 or (pool and (hb % 2 or Wp % 2)):
+        raise ValueError(
+            f"packed_conv3x3_pallas: H={H} not divisible by band hb={hb}"
+            + (f" (pool=True also needs even hb/Wp, Wp={Wp})" if pool else ""))
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nb = H // hb

@@ -40,6 +40,10 @@ class HAConfig:
     valid_border_margin: int = 3
     filter_counts: int = 0
     chunk: int = 10  # warps per scan step (static memory knob)
+    # warp-interpolation matmul precision: "bfloat16" (one MXU pass,
+    # ~1e-3 wobble on [0,1] maps — production default) or "float32"
+    # (multi-pass emulation, exact parity/debug path)
+    compute_dtype: str = "bfloat16"
     params: HomographyConfig = HomographyConfig()
 
     @classmethod
@@ -60,8 +64,11 @@ def homography_adaptation(
     """Aggregate detection probabilities over ``config.num`` random views.
 
     prob_fn: (B, H, W, 1) image -> (B, H, W) probability heatmap (already
-    decoded). image: (B, H, W, 1). Returns the aggregated (B, H, W)
-    heatmap (before NMS/thresholding).
+    decoded). image: (B, H, W, 1). ``key`` is either a single PRNG key
+    (split into per-image streams here) or a (B, 2) array of per-image
+    keys — the latter lets callers derive keys from the *unpadded* batch
+    so padded/sharded runs stay bit-identical to the plain run.
+    Returns the aggregated (B, H, W) heatmap (before NMS/thresholding).
     """
     B, H, W, _ = image.shape
     cfg = config
@@ -75,7 +82,11 @@ def homography_adaptation(
     if n_extra == 0:
         return prob0
 
-    keys = jax.random.split(key, pad_total * B).reshape(n_chunks, chunk * B, 2)
+    img_keys = jax.random.split(key, B) if key.ndim == 1 else key
+    # (B, pad_total, 2): warp keys are a pure function of each image's
+    # own stream, so batch padding cannot reshuffle them
+    keys = jax.vmap(lambda k: jax.random.split(k, pad_total))(img_keys)
+    keys = keys.transpose(1, 0, 2).reshape(n_chunks, chunk * B, 2)
     # per-warp validity (padding warps beyond num-1 contribute nothing)
     warp_alive = (jnp.arange(pad_total) < n_extra).astype(jnp.float32)
     warp_alive = warp_alive.reshape(n_chunks, chunk)
@@ -88,10 +99,11 @@ def homography_adaptation(
         Hs = jax.vmap(lambda k: sample_homography(k, (H, W), cfg.params))(ks)
         H_inv = jnp.linalg.inv(Hs)
 
-        # bf16 warps: the two Hi*Wi*Ho*Wo interpolation matmuls are ~88%
-        # of HA compute; bf16 operands take them from multi-pass f32
-        # emulation to one MXU pass (see warp_image_matmul)
-        warped = warp_image_matmul(img_tiled, Hs, compute_dtype=jnp.bfloat16)
+        # bf16 warps by default: the two Hi*Wi*Ho*Wo interpolation
+        # matmuls are ~88% of HA compute; bf16 operands take them from
+        # multi-pass f32 emulation to one MXU pass (see warp_image_matmul)
+        wdt = jnp.dtype(cfg.compute_dtype)
+        warped = warp_image_matmul(img_tiled, Hs, compute_dtype=wdt)
         # analytic validity masks (no gathers): mask lives in the warped
         # frame (uses H), count in the original frame (uses H^-1)
         mask = compute_valid_mask((H, W), Hs, cfg.valid_border_margin)
@@ -101,7 +113,7 @@ def homography_adaptation(
 
         prob = prob_fn(warped) * mask  # (chunk*B, H, W)
         prob_proj = warp_image_matmul(prob[..., None], H_inv,
-                                      compute_dtype=jnp.bfloat16)[..., 0]
+                                      compute_dtype=wdt)[..., 0]
         prob_proj = prob_proj * count
 
         alive_b = jnp.repeat(alive, B)[:, None, None]

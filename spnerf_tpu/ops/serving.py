@@ -240,6 +240,13 @@ class ServingSuperPoint:
         return x, s_prev
 
     def __call__(self, image):
+        _, H, W, _ = image.shape
+        if H % 16 != 0 or W % 8 != 0:
+            # conv12_fused uses 16-row bands + fused 2x2 pool; the
+            # stride-8 grid needs W % 8 — reject rather than truncate
+            raise ValueError(
+                f"ServingSuperPoint: input {H}x{W} must have H % 16 == 0 "
+                f"and W % 8 == 0 (pad the image before serving)")
         act = jnp.int8 if self.mode == "int8" else jnp.bfloat16
         backbone = _BACKBONE
         if self.mode == "int8":

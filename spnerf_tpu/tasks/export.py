@@ -93,8 +93,9 @@ def export_pseudo_labels(
     tolerance and the decoded heatmaps feed an aggregation + NMS that is
     insensitive at that scale). ``mesh`` shards each image batch over
     the mesh's "data" axis — HA export is embarrassingly data-parallel
-    (every image is independent), so artifacts are bit-identical to the
-    single-device run.
+    (every image is independent), and per-image HA keys are derived from
+    the unpadded batch, so artifacts are bit-identical to the
+    single-device run even when the last batch pads up to the mesh size.
     """
     exper = config["data"]["experiment_name"]
     out_dir = Path(EXPER_PATH, "outputs", exper, split)
@@ -135,14 +136,21 @@ def export_pseudo_labels(
         image = jnp.asarray(batch["image"])
         n_real = image.shape[0]
         pad = (-n_real) % n_shard
+        key, sub = jax.random.split(key)
+        # per-image keys from the UNPADDED batch: padding to a shardable
+        # size must not reshuffle the homographies of real images, so
+        # sharded exports stay bit-identical to single-device runs
+        img_keys = jax.random.split(sub, n_real)
         if pad:  # pad to a shardable batch; padded rows are discarded
             image = jnp.concatenate(
                 [image, jnp.repeat(image[-1:], pad, axis=0)], axis=0)
+            img_keys = jnp.concatenate(
+                [img_keys, jnp.repeat(img_keys[-1:], pad, axis=0)], axis=0)
         if batch_sharding is not None:
             image = jax.device_put(image, batch_sharding)
+            img_keys = jax.device_put(img_keys, batch_sharding)
         if enable_ha:
-            key, sub = jax.random.split(key)
-            prob = homography_adaptation(prob_fn, image, sub, ha_cfg)
+            prob = homography_adaptation(prob_fn, image, img_keys, ha_cfg)
         else:
             prob = plain_heatmap(image)
         prob_nms = np.asarray(nms_heatmap(prob))[:n_real]

@@ -11,7 +11,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spnerf_tpu.kernels.conv12_fused_pallas import conv12_fused
+from spnerf_tpu.kernels.conv12_fused_pallas import (
+    conv12_fused,
+    quantize_conv1_weights,
+)
 from spnerf_tpu.kernels.conv_stack_pallas import unpack_pairs
 
 
@@ -25,10 +28,13 @@ def _reference(image, k1, mult1, bias1, w2q, mult2, bias2, pool=True):
     -> int8 -> maxpool — the exact arithmetic the kernel fuses."""
     xq = np.clip(np.round(np.asarray(image[..., 0]) * 127.0), -127, 127)
     a0 = jnp.asarray(xq, jnp.float32)[..., None]
+    # mirror the kernel's conv1 weight quantization point: int8 weights,
+    # dequant scale folded into the requant multiplier
+    kq1, s1w = quantize_conv1_weights(k1)
     acc1 = jax.lax.conv_general_dilated(
-        a0, jnp.asarray(k1, jnp.float32), (1, 1), "SAME",
+        a0, kq1.astype(jnp.float32)[:, :, None, :], (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    a1 = jnp.maximum(acc1 * mult1 + bias1, 0.0)
+    a1 = jnp.maximum(acc1 * (mult1 * s1w) + bias1, 0.0)
     a1q = jnp.clip(jnp.round(a1), -127, 127)
     acc2 = jax.lax.conv_general_dilated(
         a1q, jnp.asarray(w2q, jnp.float32), (1, 1), "SAME",

@@ -113,3 +113,48 @@ def test_sharded_ha_export_matches_single_device(tmp_path, monkeypatch):
     assert set(outs["single"]) == set(outs["mesh"]) and len(outs["single"]) == 8
     for name in outs["single"]:
         np.testing.assert_array_equal(outs["single"][name], outs["mesh"][name])
+
+
+def test_sharded_ha_export_pad_invariant(tmp_path, monkeypatch):
+    """A batch NOT divisible by the mesh size pads internally; per-image
+    HA keys come from the unpadded batch, so artifacts still match the
+    single-device run bit-for-bit (ADVICE r2 #1)."""
+    from jax.sharding import Mesh
+
+    from spnerf_tpu.models import SuperPointConfig, init_superpoint
+    from spnerf_tpu.tasks import export as export_mod
+
+    H = W = 32
+    cfg = SuperPointConfig(model_name="magicpoint",
+                           vgg_cn=(4, 4, 8, 8, 8, 8, 8, 8),
+                           detector_dim=(8, 16), det_thresh=0.001)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg,
+                                       (1, H, W, 1))
+    rng = np.random.default_rng(4)
+    images = rng.uniform(0, 1, (5, H, W, 1)).astype(np.float32)  # 5 % 8 != 0
+    loader = [{
+        "image": images,
+        "name": [f"img{i}" for i in range(5)],
+    }]
+    config = {
+        "data": {"experiment_name": "ha_pad"},
+        "model": {"detector_head": {"nms": 4, "det_thresh": 0.001,
+                                    "top_k": 50}},
+        "homography_adaptation": {"num": 4, "chunk": 2},
+    }
+
+    outs = {}
+    for tag, mesh in (
+        ("single", None),
+        ("mesh", Mesh(np.asarray(jax.devices()), ("data",))),
+    ):
+        root = tmp_path / tag
+        monkeypatch.setattr(export_mod, "EXPER_PATH", root)
+        out_dir = export_mod.export_pseudo_labels(
+            config, model, variables, loader, split="training",
+            enable_ha=True, seed=7, mesh=mesh)
+        outs[tag] = {p.name: np.load(p) for p in sorted(out_dir.glob("*.npy"))}
+
+    assert set(outs["single"]) == set(outs["mesh"]) and len(outs["single"]) == 5
+    for name in outs["single"]:
+        np.testing.assert_array_equal(outs["single"][name], outs["mesh"][name])
