@@ -5,23 +5,32 @@ Target (BASELINE.md): >= 50M rays/sec/chip on v5e.
 Headline: the fused Pallas serving renderer (kernels/render_pallas.py) —
 positional encoding, MLP and alpha compositing in one kernel, the
 production fast-NeRF path (tiny Fourier-feature field, 32 samples/ray,
-along-ray depth). The classic hierarchical NeRF (parity renderer,
-~250 MFLOP/ray) measures ~0.145M rays/s bf16 at its FLOP ceiling — see
-docs/PERF.md.
+along-ray depth), now sample-chunked with occupancy skipping
+(ops/occupancy.py): chunks of samples whose frustum AABB misses the
+field's density grid skip encoding + MLP + compositing entirely.
+
+Protocol: a trained sphere field (benchmarks/data/sphere_field.npz,
+written by benchmarks/nerf_quality_sphere.py --save; quality gate
+>= 39 dB PSNR runs THROUGH this kernel with real flags) rendered from
+an orbit camera — flags computed on device from the field's own
+occupancy grid, included in the timed region. Falls back to dense
+(all-chunks) rendering when no trained field is on disk.
 
 Prints one JSON line {"metric": "nerf_render_rays_per_sec", ...}.
 """
 
 import json
-import time
-
 import os
+import time
+from pathlib import Path
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spnerf_tpu.kernels.render_pallas import render_fused
 from spnerf_tpu.models.fused_tiny_nerf import (
     TinyFieldConfig,
     direction_features,
@@ -29,40 +38,73 @@ from spnerf_tpu.models.fused_tiny_nerf import (
     init_params,
     make_encoding,
 )
-from spnerf_tpu.kernels.render_pallas import render_fused
 
 N_RAYS = 131072
 BASELINE_RAYS = 50e6
+FIELD_PATH = Path(__file__).parent / "benchmarks" / "data" / "sphere_field.npz"
+
+
+def orbit_rays(n_rays, key):
+    """Camera-like ray bundle: origin ring at radius 4 looking inward."""
+    from spnerf_tpu.data.nerf_dataset import camera_intrinsics
+    from spnerf_tpu.models.nerf import camera_rays
+    from spnerf_tpu.tasks.nerf_task import pose_orbit
+
+    H = W = int(np.sqrt(n_rays))
+    K = camera_intrinsics((H, W), 60.0)
+    pose = pose_orbit(8, radius=4.0, height=0.4)[0]
+    o, d = camera_rays((H, W), jnp.asarray(K), jnp.asarray(pose))
+    pad = n_rays - H * W
+    return (jnp.concatenate([o, o[:pad]]), jnp.concatenate([d, d[:pad]]))
 
 
 def main():
     cfg = TinyFieldConfig(n_samples=32)
-    params = init_params(jax.random.PRNGKey(0))
-    params = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+    if FIELD_PATH.exists():
+        data = np.load(FIELD_PATH)
+        params = {k: jnp.asarray(data[k], jnp.bfloat16) for k in data.files}
+        mode = "sphere_field+occupancy"
+    else:
+        params = init_params(jax.random.PRNGKey(0))
+        params = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+        mode = "dense(untrained)"
     A, c = make_encoding(cfg)
 
-    d = jax.random.normal(jax.random.PRNGKey(1), (N_RAYS, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.zeros((N_RAYS, 3))
+    o, d = orbit_rays(N_RAYS, jax.random.PRNGKey(1))
     oe, de = encode_rays(o, d, A, c)
     df = direction_features(params, d, A, c)
 
-    block = int(os.environ.get("SPNERF_RENDER_BLOCK", "256"))
+    block = int(os.environ.get("SPNERF_RENDER_BLOCK", "512"))
+    s_chunk = int(os.environ.get("SPNERF_RENDER_CHUNK", "8"))
+
+    ivol = None
+    if mode.startswith("sphere"):
+        from spnerf_tpu.ops.occupancy import chunk_flags, field_integral_volume
+
+        # field-dependent, camera-independent: built once per field
+        ivol = jax.block_until_ready(field_integral_volume(
+            {k: v.astype(jnp.float32) for k, v in params.items()}, cfg))
 
     @jax.jit
-    def render(oe, de, df):
+    def render(oe, de, df, o, d):
+        flags = None
+        if ivol is not None:
+            flags = chunk_flags(o, d, ivol, block=block,
+                                n_samples=cfg.n_samples, s_chunk=s_chunk,
+                                near=cfg.near, far=cfg.far,
+                                extent=float(cfg.far))
         return render_fused(
             oe, de, params["w1"], params["w2"], params["w3"], df,
             jitter=0.5, n_samples=cfg.n_samples, near=cfg.near, far=cfg.far,
-            block=block,
+            block=block, s_chunk=s_chunk, flags=flags,
         )
 
-    np.asarray(render(oe, de, df)[0][:1])  # compile + materialize
+    np.asarray(render(oe, de, df, o, d)[0][:1])  # compile + materialize
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = render(oe, de, df)
+        out = render(oe, de, df, o, d)
     np.asarray(out[0][:1])
     dt = time.perf_counter() - t0
 
@@ -72,6 +114,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS, 4),
+        "mode": mode, "block": block, "s_chunk": s_chunk,
     }))
 
 

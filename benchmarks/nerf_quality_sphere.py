@@ -91,18 +91,36 @@ def main(iters=1500):
     print(f"trained {iters} iters in {time.perf_counter() - t0:.1f}s, "
           f"final loss {loss:.5f}")
 
-    # held-out eval THROUGH the fused kernel
+    if "--save" in sys.argv:
+        out = Path(__file__).parent / "data" / "sphere_field.npz"
+        out.parent.mkdir(exist_ok=True)
+        np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
+        print(f"saved trained field -> {out}")
+
+    # held-out eval THROUGH the fused kernel — dense, then with real
+    # occupancy-skip flags (the production path; the gate must hold for
+    # BOTH, proving skipping is lossless)
+    from spnerf_tpu.ops.occupancy import chunk_flags, field_integral_volume
+
     ot, dt, rgb_t, tt, hit_t = sphere_scene(jax.random.PRNGKey(9), 1 << 16)
     bp = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
-    out_k = render_fused_rays(bp, ot, dt, cfg)
-    rgb_k, depth_k = out_k["rgb"], out_k["depth"]
-    mse = float(jnp.mean((rgb_k - rgb_t) ** 2))
-    psnr = -10.0 * np.log10(mse)
-    derr = jnp.abs(depth_k - tt) / tt
-    mean_derr = float(jnp.mean(jnp.where(hit_t, derr, 0.0))
-                      / jnp.mean(hit_t.astype(jnp.float32)))
-    print(f"held-out PSNR through fused kernel: {psnr:.1f} dB; "
-          f"mean surface-depth error {mean_derr * 100:.1f}%")
+    ivol = field_integral_volume(params, cfg)
+    flags = chunk_flags(ot, dt, ivol, block=512, n_samples=cfg.n_samples,
+                        s_chunk=8, near=cfg.near, far=cfg.far,
+                        extent=float(cfg.far))
+    live = float(jnp.mean(flags.astype(jnp.float32)))
+    for name, iv in (("dense", None), ("occupancy-skip", ivol)):
+        out_k = render_fused_rays(bp, ot, dt, cfg, occupancy_ivol=iv)
+        rgb_k, depth_k = out_k["rgb"], out_k["depth"]
+        mse = float(jnp.mean((rgb_k - rgb_t) ** 2))
+        psnr = -10.0 * np.log10(mse)
+        derr = jnp.abs(depth_k - tt) / tt
+        mean_derr = float(jnp.mean(jnp.where(hit_t, derr, 0.0))
+                          / jnp.mean(hit_t.astype(jnp.float32)))
+        print(f"held-out PSNR through fused kernel [{name}]: {psnr:.1f} dB; "
+              f"mean surface-depth error {mean_derr * 100:.1f}%")
+    print(f"live chunk fraction: {live * 100:.1f}% "
+          f"(skipped {100 * (1 - live):.1f}% of sample chunks)")
 
 
 if __name__ == "__main__":

@@ -40,75 +40,95 @@ ENC = 128  # encoding width (padded)
 HID = 128  # MLP width
 
 
-def _kernel(jit_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref, w3_ref,
-            out_ref, depth_ref, enc_scr, h_scr, head_scr, sig_scr,
-            *, n_samples, near, far, block):
-    """Sample-batched: all R*S sample encodings are built first, the MLP
-    runs as three LARGE matmuls (M = R*S), then compositing walks the
-    samples. Per-sample tiny matmuls are latency-bound on the MXU."""
+def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
+            w3_ref, out_ref, depth_ref, enc_scr, h_scr, head_scr, sig_scr,
+            rgb_scr, dep_scr, trans_scr, *, n_samples, s_chunk, near, far,
+            block):
+    """Sample-CHUNKED: the samples are processed ``s_chunk`` at a time —
+    encodings built for the chunk, the MLP runs as three (R*s_chunk, 128)
+    matmuls, compositing walks the chunk. Chunking (a) bounds scratch to
+    O(R*s_chunk) so 512-ray blocks fit VMEM (the old whole-sample-axis
+    scratch OOM'd past block=256), and (b) gives occupancy skipping its
+    granularity: a chunk whose flag is 0 (see ops/occupancy.py) is
+    skipped entirely under ``pl.when`` — exact, since empty chunks
+    contribute alpha = 0 and leave the compositing state unchanged.
+    Compositing state (rgb / depth / transmittance) lives in scratch so
+    it survives the skip predicates."""
     jitter = jit_ref[0, 0]
     dt = (far - near) / n_samples
     oe = oe_ref[...]
     de = de_ref[...]
     R = block
+    mm = enc_scr.dtype
 
-    # sin(oe + t_s de) by angle rotation: 4 transcendentals per BLOCK
-    # (sin/cos of the start phase and of the per-lane step d*de), then
-    # 4 FMAs per sample instead of a VPU sine each — the sine loop was
-    # ~30% of block time.
-    t0 = near + jitter * dt
-    u = jnp.sin(oe + t0 * de)
-    v = jnp.cos(oe + t0 * de)
+    rgb_scr[...] = jnp.zeros((R, HID), jnp.float32)
+    dep_scr[...] = jnp.zeros((R, 1), jnp.float32)
+    trans_scr[...] = jnp.ones((R, 1), jnp.float32)
+
+    df = df_ref[...].astype(jnp.float32)
+    df_all = jnp.broadcast_to(df[None], (s_chunk, block, HID)).reshape(
+        s_chunk * block, HID)
+    # sin(oe + t_s de) by angle rotation: 2 transcendentals per chunk
+    # plus the per-lane step rotation (sd, cd), then 4 FMAs per sample
+    # instead of a VPU sine each — the sine loop was ~30% of block time.
     sd = jnp.sin(dt * de)
     cd = jnp.cos(dt * de)
-    for s in range(n_samples):
-        enc_scr[pl.ds(s * R, R), :] = u.astype(enc_scr.dtype)
-        un = u * cd + v * sd
-        v = v * cd - u * sd
-        u = un
 
-    mm = enc_scr.dtype
-    h_scr[...] = jnp.maximum(
-        jnp.dot(enc_scr[...], w1_ref[...],
-                preferred_element_type=jnp.float32), 0.0
-    ).astype(mm)
-    # layer 2 as ONE big matmul, then the per-ray view feature (df,
-    # precomputed outside) is added per sample segment with the ReLU
-    head_scr[...] = jnp.dot(h_scr[...], w2_ref[...],
-                            preferred_element_type=jnp.float32)
-    df = df_ref[...].astype(jnp.float32)
-    df_all = jnp.broadcast_to(df[None], (n_samples, block, HID)).reshape(
-        n_samples * block, HID)
-    h_scr[...] = jnp.maximum(head_scr[...] + df_all, 0.0).astype(mm)
-    head_scr[...] = jnp.dot(h_scr[...], w3_ref[...],
-                            preferred_element_type=jnp.float32)
-    # stash raw sigma (head column 0) before the in-place sigmoid; the
-    # compositing recursion then runs on (R, 1) per-ray scalars — the
-    # per-sample exp costs 1 lane instead of 128, and the old 128-wide
-    # sigma-broadcast selector matmul (25% of MXU work) is gone
-    sig_scr[...] = head_scr[:, 0:1]
-    head_scr[...] = jax.nn.sigmoid(head_scr[...])
+    for ci in range(n_samples // s_chunk):
 
-    rgb_acc = jnp.zeros((R, HID), jnp.float32)
-    depth_acc = jnp.zeros((R, 1), jnp.float32)
-    trans = jnp.ones((R, 1), jnp.float32)
-    for s in range(n_samples):
-        t_s = near + (s + jitter) * dt
-        sigma = sig_scr[pl.ds(s * R, R), :]
-        alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dt)
-        w = trans * alpha
-        rgb_acc = rgb_acc + jnp.broadcast_to(w, (R, HID)) * \
-            head_scr[pl.ds(s * R, R), :]
-        depth_acc = depth_acc + w * t_s
-        trans = trans * (1.0 - alpha)
+        @pl.when(flag_ref[0, ci] != 0)
+        def _(ci=ci):
+            t0 = near + (ci * s_chunk + jitter) * dt
+            u = jnp.sin(oe + t0 * de)
+            v = jnp.cos(oe + t0 * de)
+            for s in range(s_chunk):
+                enc_scr[pl.ds(s * R, R), :] = u.astype(mm)
+                un = u * cd + v * sd
+                v = v * cd - u * sd
+                u = un
 
-    out_ref[...] = rgb_acc
-    depth_ref[...] = jnp.broadcast_to(depth_acc, (R, HID))
+            h_scr[...] = jnp.maximum(
+                jnp.dot(enc_scr[...], w1_ref[...],
+                        preferred_element_type=jnp.float32), 0.0
+            ).astype(mm)
+            # layer 2 as one chunk-wide matmul, then the per-ray view
+            # feature (df, precomputed outside) is added per sample
+            # segment with the ReLU
+            head_scr[...] = jnp.dot(h_scr[...], w2_ref[...],
+                                    preferred_element_type=jnp.float32)
+            h_scr[...] = jnp.maximum(head_scr[...] + df_all, 0.0).astype(mm)
+            head_scr[...] = jnp.dot(h_scr[...], w3_ref[...],
+                                    preferred_element_type=jnp.float32)
+            # stash raw sigma (head column 0) before the in-place
+            # sigmoid; the compositing recursion then runs on (R, 1)
+            # per-ray scalars — the per-sample exp costs 1 lane, and a
+            # 128-wide sigma-broadcast selector matmul is avoided
+            sig_scr[...] = head_scr[:, 0:1]
+            head_scr[...] = jax.nn.sigmoid(head_scr[...])
+
+            rgb_acc = rgb_scr[...]
+            depth_acc = dep_scr[...]
+            trans = trans_scr[...]
+            for s in range(s_chunk):
+                t_s = near + (ci * s_chunk + s + jitter) * dt
+                sigma = sig_scr[pl.ds(s * R, R), :]
+                alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dt)
+                w = trans * alpha
+                rgb_acc = rgb_acc + jnp.broadcast_to(w, (R, HID)) * \
+                    head_scr[pl.ds(s * R, R), :]
+                depth_acc = depth_acc + w * t_s
+                trans = trans * (1.0 - alpha)
+            rgb_scr[...] = rgb_acc
+            dep_scr[...] = depth_acc
+            trans_scr[...] = trans
+
+    out_ref[...] = rgb_scr[...]
+    depth_ref[...] = jnp.broadcast_to(dep_scr[...], (R, HID))
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_samples", "near", "far", "block",
-                              "interpret")
+                              "s_chunk", "interpret")
 )
 def render_fused(
     oe: jnp.ndarray,
@@ -121,26 +141,37 @@ def render_fused(
     n_samples: int = 32,
     near: float = 2.0,
     far: float = 6.0,
-    block: int = 256,
+    block: int = 512,
+    s_chunk: int = 8,
+    flags: jnp.ndarray | None = None,
     interpret: bool = False,
 ):
-    """Render (N, ENC)-encoded rays. Returns (rgb (N, 3), depth (N,), acc (N,)).
+    """Render (N, ENC)-encoded rays. Returns (rgb (N, 3), depth (N,)).
 
     oe, de: origin/direction ray encodings = [o|d] @ E2 + bias (see
     models/fused_tiny_nerf.encode_rays). w*: (128, 128) MLP weights with
     biases folded into a constant-one input lane by the caller.
+    flags: optional int32 (n_blocks, n_samples // s_chunk) occupancy
+    skip flags from ``ops.occupancy.chunk_flags`` (must be built with
+    the SAME block/s_chunk); None renders every chunk.
     """
     N = oe.shape[0]
     if df is None:
         df = jnp.zeros_like(oe)
+    if n_samples % s_chunk:
+        raise ValueError(f"n_samples={n_samples} % s_chunk={s_chunk} != 0")
     pad = (-N) % block
     oe = jnp.pad(oe, ((0, pad), (0, 0)))
     de = jnp.pad(de, ((0, pad), (0, 0)))
     df = jnp.pad(df, ((0, pad), (0, 0)))
     n_blocks = (N + pad) // block
+    n_chunks = n_samples // s_chunk
+    if flags is None:
+        flags = jnp.ones((n_blocks, n_chunks), jnp.int32)
 
     kernel = functools.partial(
-        _kernel, n_samples=n_samples, near=near, far=far, block=block,
+        _kernel, n_samples=n_samples, s_chunk=s_chunk, near=near, far=far,
+        block=block,
     )
     jit_arr = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
     rgb_w, depth_w = pl.pallas_call(
@@ -148,6 +179,8 @@ def render_fused(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_chunks), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
@@ -172,14 +205,17 @@ def render_fused(
             jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block * n_samples, ENC), w1.dtype),
-            pltpu.VMEM((block * n_samples, HID), w1.dtype),
-            pltpu.VMEM((block * n_samples, HID), jnp.float32),
-            pltpu.VMEM((block * n_samples, 1), jnp.float32),
+            pltpu.VMEM((block * s_chunk, ENC), w1.dtype),
+            pltpu.VMEM((block * s_chunk, HID), w1.dtype),
+            pltpu.VMEM((block * s_chunk, HID), jnp.float32),
+            pltpu.VMEM((block * s_chunk, 1), jnp.float32),
+            pltpu.VMEM((block, HID), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jit_arr, oe, de, df, jnp.asarray(w1), jnp.asarray(w2),
-      jnp.asarray(w3))
+    )(jit_arr, jnp.asarray(flags, jnp.int32), oe, de, df, jnp.asarray(w1),
+      jnp.asarray(w2), jnp.asarray(w3))
 
     rgb = rgb_w[:N, 1:4]
     depth = depth_w[:N, 0]

@@ -112,17 +112,29 @@ def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5,
 
 def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
                       A=None, c=None, jitter: float = 0.5,
-                      interpret: bool = False):
-    """Serving path: encode + fused Pallas render."""
+                      block: int = 512, s_chunk: int = 8,
+                      occupancy_ivol=None, interpret: bool = False):
+    """Serving path: encode + fused Pallas render. Pass the field's
+    integral occupancy volume (ops.occupancy.field_integral_volume) to
+    skip empty sample chunks."""
     from spnerf_tpu.kernels.render_pallas import render_fused
 
     if A is None or c is None:
         A, c = make_encoding(config)
     oe, de = encode_rays(origins, directions, A, c)
     df = direction_features(params, directions, A, c)
+    flags = None
+    if occupancy_ivol is not None:
+        from spnerf_tpu.ops.occupancy import chunk_flags
+
+        flags = chunk_flags(origins, directions, occupancy_ivol,
+                            block=block, n_samples=config.n_samples,
+                            s_chunk=s_chunk, near=config.near,
+                            far=config.far, extent=float(config.far))
     rgb, depth = render_fused(
         oe, de, params["w1"], params["w2"], params["w3"], df,
         jitter=jitter, n_samples=config.n_samples,
-        near=config.near, far=config.far, interpret=interpret,
+        near=config.near, far=config.far, block=block, s_chunk=s_chunk,
+        flags=flags, interpret=interpret,
     )
     return {"rgb": rgb, "depth": depth}

@@ -86,3 +86,52 @@ def test_tiny_field_overfits():
     ref = render_xla(params, oe, de, cfg, df=df_fn(params))
     np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
                                atol=2e-3)
+
+
+def test_multichunk_matches_xla(setup):
+    """Sample chunking (s_chunk < n_samples) must be invisible."""
+    params, o, d = setup
+    cfg = TinyFieldConfig(n_samples=16)
+    A, c = make_encoding(cfg)
+    oe, de = encode_rays(o, d, A, c)
+    df = direction_features(params, d, A, c)
+    ref = render_xla(params, oe, de, cfg, df=df)
+    got = render_fused_rays(params, o, d, cfg, s_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=5e-3)
+
+
+def test_occupancy_skip_is_lossless(setup):
+    """Real flags from the field's own density grid: skipped chunks are
+    below the alpha threshold, so the render must match dense closely."""
+    from spnerf_tpu.ops.occupancy import chunk_flags, field_integral_volume
+
+    params, o, d = setup
+    cfg = TinyFieldConfig(n_samples=16)
+    ivol = field_integral_volume(params, cfg, resolution=32)
+    flags = chunk_flags(o, d, ivol, block=512, n_samples=cfg.n_samples,
+                        s_chunk=4, near=cfg.near, far=cfg.far,
+                        extent=float(cfg.far))
+    dense = render_fused_rays(params, o, d, cfg, s_chunk=4, interpret=True)
+    skip = render_fused_rays(params, o, d, cfg, s_chunk=4,
+                             occupancy_ivol=ivol, interpret=True)
+    np.testing.assert_allclose(np.asarray(skip["rgb"]),
+                               np.asarray(dense["rgb"]), atol=5e-3)
+    assert flags.shape == (1, 4)
+
+
+def test_integral_volume_box_counts():
+    from spnerf_tpu.ops.occupancy import _box_count, integral_volume
+
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.random((6, 6, 6)) > 0.6)
+    ivol = integral_volume(occ)
+    occ_np = np.asarray(occ)
+    for _ in range(20):
+        lo = rng.integers(0, 6, 3)
+        hi = np.array([rng.integers(l, 6) for l in lo])
+        want = occ_np[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1].sum()
+        got = int(_box_count(ivol, jnp.asarray(lo), jnp.asarray(hi)))
+        assert got == want, (lo, hi, got, want)
