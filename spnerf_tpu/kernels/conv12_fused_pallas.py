@@ -88,16 +88,24 @@ def build_conv1_banded_weights(kq: jnp.ndarray, hb: int) -> jnp.ndarray:
     hi=pixel 2j+1), channel c. Nonzero iff l - g in {0, 1, 2}
     (= kernel row dy) and the tap column is valid for the half."""
     K = hb + 4
-    k = np.asarray(kq)
-    w = np.zeros((4, K, hb + 2, 2, 64), np.int8)
-    for t, u in enumerate(_COL_TAPS):
-        for g in range(hb + 2):
-            for dy in range(3):
-                if -1 <= u <= 1:
-                    w[t, g + dy, g, 0] = k[dy, u + 1]
-                if 0 <= u <= 2:
-                    w[t, g + dy, g, 1] = k[dy, u]
-    return jnp.asarray(w.reshape(4 * K, (hb + 2) * 128))
+    G = hb + 2
+    # static banded index structure (jit-safe: kq may be traced)
+    lg = np.arange(K)[:, None] - np.arange(G)[None, :]   # (K, G) = l - g
+    valid = (lg >= 0) & (lg <= 2)
+    dy = np.clip(lg, 0, 2)                               # (K, G)
+    halves = []
+    for half in range(2):
+        taps = []
+        for u in _COL_TAPS:
+            dx = u + 1 if half == 0 else u
+            if 0 <= dx <= 2:
+                tap = kq[dy, dx] * valid[..., None].astype(kq.dtype)
+            else:
+                tap = jnp.zeros((K, G, 64), kq.dtype)
+            taps.append(tap)
+        halves.append(jnp.stack(taps))                   # (4, K, G, 64)
+    w = jnp.stack(halves, axis=3)                        # (4, K, G, 2, 64)
+    return w.reshape(4 * K, G * 128)
 
 
 def conv12_prepare(image: jnp.ndarray, hb: int):
