@@ -11,7 +11,7 @@ data/HPatches.py:12) run on locally fabricated data:
   random in-pixel-coordinate homographies each, in the real HPatches
   layout (1.jpg..6.jpg + H_1_2..H_1_6 text matrices).
 
-Usage: SPNERF_ROOT=... python demo/make_standin_data.py [--n-coco 400]
+Usage: SPNERF_ROOT=... python demo/make_standin_data.py [--n-coco 5000]
 """
 from __future__ import annotations
 

@@ -1,10 +1,16 @@
 #!/bin/bash
 # On-chip bootstrap demo: synthetic -> MagicPoint -> HA pseudo-labels ->
 # SuperPoint -> HPatches-protocol eval (the reference's full pipeline,
-# reference engine.py tasks, on fabricated stand-in data).
+# reference engine.py tasks, on fabricated stand-in data), plus the
+# NeRF-supervision leg (the reference's novel contribution): fabricated
+# 3D scenes -> in-framework NeRF -> rendered novel views w/ depth ->
+# multi-view label fusion -> 3D-reprojection descriptor loss -> GT
+# relative-pose AUC evaluation.
 #
 # Usage:  bash demo/run_demo.sh [leg]
-#   leg = data | mp | export | sp | eval   (default: all, resumable)
+#   homography legs: data | mp | export | sp | eval
+#   NeRF legs:       nerf_data | nerf | nerf_export | nerf_sp | pose
+#   (default: all, resumable)
 set -e
 cd "$(dirname "$0")/.."
 export SPNERF_ROOT="${SPNERF_ROOT:-/root/repo/runs}"
@@ -15,7 +21,7 @@ LEG="${1:-all}"
 run_leg() {
     case "$1" in
     data)
-        python demo/make_standin_data.py --n-coco 400 ;;
+        python demo/make_standin_data.py ;;
     mp)
         python -m spnerf_tpu.cli --config-path demo/configs/magicpoint_syn_demo.yaml \
             --task train --validate-training ;;
@@ -30,11 +36,36 @@ run_leg() {
             --mode repeatability --k-points 300
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
             --mode descriptors --k-points 1000 ;;
+    nerf_data)
+        python demo/make_nerf_scenes.py ;;
+    nerf)
+        python demo/run_nerf_leg.py ;;
+    nerf_export)
+        for s in demo_scene00 demo_scene01 demo_scene02 demo_scene03; do
+            python -m spnerf_tpu.cli --config-path demo/configs/nerf_export_demo.yaml \
+                --task export_NeRF_labels \
+                --set data.data_dir="$s" \
+                --set data.experiment_name="demo_export_NeRF/$s"
+        done ;;
+    nerf_sp)
+        python -m spnerf_tpu.cli --config-path demo/configs/superpoint_nerf_demo.yaml \
+            --task train --train-nerf --nerf-loss ;;
+    pose)
+        echo "== pose AUC: NeRF-supervised SuperPoint =="
+        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml
+        echo "== pose AUC: homography-supervised SuperPoint (same iters) =="
+        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
+            --set pretrained=demo_sp/demo_sp_20000.ckpt
+        echo "== pose AUC: homography-supervised SuperPoint (full 50k) =="
+        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
+            --set pretrained=demo_sp/demo_sp_50000.ckpt ;;
     esac
 }
 
 if [ "$LEG" = all ]; then
-    for l in data mp export sp eval; do run_leg "$l"; done
+    for l in data mp export sp eval nerf_data nerf nerf_export nerf_sp pose; do
+        run_leg "$l"
+    done
 else
     run_leg "$LEG"
 fi

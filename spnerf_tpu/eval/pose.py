@@ -361,14 +361,16 @@ def build_infer_fn(config: dict):
 
 
 def main(argv=None):
-    from spnerf_tpu.utils.config import load_config
+    from spnerf_tpu.utils.config import apply_overrides, load_config
 
     p = argparse.ArgumentParser()
     p.add_argument("--config-path", required=True)
     p.add_argument("--max-length", type=int, default=-1)
     p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE")
     args = p.parse_args(argv)
-    config = load_config(args.config_path)
+    config = apply_overrides(load_config(args.config_path), args.overrides)
 
     pairs_path = Path(DATA_PATH, config["data"]["gt_pairs"])
     with open(pairs_path) as f:
