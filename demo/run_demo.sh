@@ -18,19 +18,42 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax}
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LEG="${1:-all}"
 
+# Latest checkpoint iteration for a ckpt_name ("" if none) — the train
+# legs resume from it instead of restarting, making every leg re-runnable.
+latest_iter() {
+    ls "$SPNERF_ROOT/ckpts/$1/$1"_*.ckpt 2>/dev/null |
+        sed -E 's/.*_([0-9]+)\.ckpt/\1/' | sort -n | tail -1
+}
+
+# train_leg <config> <ckpt_name> <target_iters> [extra args...]
+train_leg() {
+    local cfg="$1" name="$2" target="$3"; shift 3
+    local it; it=$(latest_iter "$name")
+    local resume=()
+    if [ -n "$it" ]; then
+        if [ "$it" -ge "$target" ]; then
+            echo "$name already at $it iters, skipping"; return
+        fi
+        echo "$name resuming from iteration $it"
+        resume=(--set pretrained="$name/${name}_${it}.ckpt"
+                --set continue_training=True)
+    fi
+    python -m spnerf_tpu.cli --config-path "$cfg" --task train \
+        "${resume[@]}" "$@"
+}
+
 run_leg() {
     case "$1" in
     data)
         python demo/make_standin_data.py ;;
     mp)
-        python -m spnerf_tpu.cli --config-path demo/configs/magicpoint_syn_demo.yaml \
-            --task train --validate-training ;;
+        train_leg demo/configs/magicpoint_syn_demo.yaml demo_mp 25000 \
+            --validate-training ;;
     export)
         python -m spnerf_tpu.cli --config-path demo/configs/coco_export_demo.yaml \
             --task export_pseudo_labels --split training ;;
     sp)
-        python -m spnerf_tpu.cli --config-path demo/configs/superpoint_demo.yaml \
-            --task train ;;
+        train_leg demo/configs/superpoint_demo.yaml demo_sp 50000 ;;
     eval)
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
             --mode repeatability --k-points 300
@@ -48,8 +71,8 @@ run_leg() {
                 --set data.experiment_name="demo_export_NeRF/$s"
         done ;;
     nerf_sp)
-        python -m spnerf_tpu.cli --config-path demo/configs/superpoint_nerf_demo.yaml \
-            --task train --train-nerf --nerf-loss ;;
+        train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf 20000 \
+            --train-nerf --nerf-loss ;;
     pose)
         echo "== pose AUC: NeRF-supervised SuperPoint =="
         python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml

@@ -201,6 +201,14 @@ def warp_image_matmul(
     multi-pass f32 emulation — ~6x faster on v5e, with ~3-decimal-digit
     weight precision (plenty for [0,1] images and probability maps; the
     default stays exact-f32 for the parity tests).
+
+    ``compute_dtype=jnp.int8`` additionally quantizes BOTH matmul
+    operands to 7-bit fixed point (x127, int32 accumulation, rescaled
+    after): the int8 MXU runs at 2x the bf16 rate on v5e. Worst-case
+    value error ~0.8%% of the [0, 1] range — invisible to HA pseudo-label
+    aggregation (100-warp averages) and to the int8 serving detector,
+    whose own input quantization discards the same bits. Inputs are
+    clipped to [0, 1]; use bf16/f32 for signed or out-of-range data.
     """
     B, Hi, Wi, C = image.shape
     assert C == 1, "matmul warp is specialized for single-channel images"
@@ -211,6 +219,8 @@ def warp_image_matmul(
 
     H_inv = jnp.linalg.inv(homography)
     img_t = image[..., 0].transpose(0, 2, 1)  # (B, Wi, Hi)
+    if compute_dtype == jnp.int8:
+        img_q = jnp.round(jnp.clip(img_t, 0.0, 1.0) * 127.0).astype(jnp.int8)
 
     xs = jnp.arange(Wo, dtype=jnp.float32)
     x_grid = jnp.arange(Wi, dtype=jnp.float32)
@@ -231,6 +241,11 @@ def warp_image_matmul(
             t = jnp.matmul(wx.reshape(B, row_tile * Wo, Wi), img_t,
                            precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
+        elif compute_dtype == jnp.int8:
+            wq = jnp.round(wx.reshape(B, row_tile * Wo, Wi) * 127.0)
+            t = jnp.matmul(wq.astype(jnp.int8), img_q,
+                           preferred_element_type=jnp.int32)
+            t = t.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
         else:
             t = jnp.matmul(
                 wx.reshape(B, row_tile * Wo, Wi).astype(compute_dtype),

@@ -109,3 +109,24 @@ def test_sample_descriptors_bilinear_runs(rng):
     out = sample_descriptors(jnp.asarray(desc_raw), pts, 8, method="bilinear")
     assert out.shape == (1, 8)
     np.testing.assert_allclose(float(jnp.linalg.norm(out[0])), 1.0, atol=1e-4)
+
+
+def test_homography_adaptation_int8_matches_f32():
+    """7-bit fixed-point warps through the full HA aggregation stay
+    within ~1% of the exact-f32 path (100-warp averaging washes the
+    per-warp quantization out further)."""
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.random((1, 32, 40, 1)), jnp.float32)
+
+    def prob_fn(images):
+        return images[..., 0]
+
+    kw = dict(num=9, chunk=4, valid_border_margin=0,
+              params=HomographyConfig(allow_artifacts=True, patch_ratio=0.85))
+    ref = homography_adaptation(prob_fn, image, jax.random.PRNGKey(0),
+                                HAConfig(compute_dtype="float32", **kw))
+    got = homography_adaptation(prob_fn, image, jax.random.PRNGKey(0),
+                                HAConfig(compute_dtype="int8", **kw))
+    diff = np.abs(np.asarray(ref) - np.asarray(got))
+    assert diff.max() < 2.5e-2
+    assert diff.mean() < 5e-3

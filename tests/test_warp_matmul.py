@@ -42,3 +42,16 @@ def test_warp_matmul_bf16_close_to_f32():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-2, rtol=0)
     assert float(jnp.mean(jnp.abs(a - b))) < 3e-3
+
+
+def test_warp_matmul_int8_close_to_f32():
+    """7-bit fixed-point warp: worst-case ~0.8% of range on [0,1] images."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.random((2, 48, 64, 1)), jnp.float32)
+    H = jnp.asarray([np.eye(3), [[0.9, 0.1, 3.0], [-0.05, 1.05, -2.0],
+                                 [1e-4, -5e-5, 1.0]]], jnp.float32)
+    a = warp_image_matmul(img, H)
+    b = warp_image_matmul(img, H, compute_dtype=jnp.int8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2.5e-2, rtol=0)
+    assert float(jnp.mean(jnp.abs(a - b))) < 8e-3
