@@ -65,7 +65,9 @@ def main():
             loss, pos, neg = descriptor_loss_pallas(a, bm, wc, dcfg)
             return loss
 
-        for name, fn in (("dense", dense_loss), ("pallas", pallas_loss)):
+        # pallas first: peak_bytes_in_use is monotone since process start,
+        # so the low-memory path must be measured before the dense one
+        for name, fn in (("pallas", pallas_loss), ("dense", dense_loss)):
             g = jax.jit(jax.grad(fn))
             try:
                 ms, _ = bench(g, (A, Bm, wcells))

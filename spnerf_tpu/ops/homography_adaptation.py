@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from spnerf_tpu.geometry.homography import HomographyConfig, sample_homography
+from spnerf_tpu.kernels.warp_pallas import warp_image_fused
 from spnerf_tpu.ops.image_warp import (
     compute_valid_mask,
     warp_image_matmul,
@@ -40,10 +41,18 @@ class HAConfig:
     valid_border_margin: int = 3
     filter_counts: int = 0
     chunk: int = 10  # warps per scan step (static memory knob)
-    # warp-interpolation matmul precision: "bfloat16" (one MXU pass,
-    # ~1e-3 wobble on [0,1] maps — production default) or "float32"
-    # (multi-pass emulation, exact parity/debug path)
+    # warp-interpolation precision: "bfloat16" (one MXU pass, ~1e-3
+    # wobble on [0,1] maps — production default), "int8" (7-bit fixed
+    # point, 2x MXU rate) or "float32" (exact parity/debug path)
     compute_dtype: str = "bfloat16"
+    # "pallas": fused kernel (kernels/warp_pallas.py) — hat weights
+    # never leave VMEM (flat memory in image size; the production
+    # default). "matmul": XLA interpolation matmuls (same speed at
+    # 240x320, 4x the HBM pressure at 480x640). float32 always uses
+    # matmul (the Precision.HIGHEST parity path). Measured 240x320
+    # HA bottleneck is the model forward (~54 of 65 ms/chunk step),
+    # not the warps — see docs/PERF.md.
+    warp_impl: str = "pallas"
     params: HomographyConfig = HomographyConfig()
 
     @classmethod
@@ -99,11 +108,12 @@ def homography_adaptation(
         Hs = jax.vmap(lambda k: sample_homography(k, (H, W), cfg.params))(ks)
         H_inv = jnp.linalg.inv(Hs)
 
-        # bf16 warps by default: the two Hi*Wi*Ho*Wo interpolation
-        # matmuls are ~88% of HA compute; bf16 operands take them from
-        # multi-pass f32 emulation to one MXU pass (see warp_image_matmul)
         wdt = jnp.dtype(cfg.compute_dtype)
-        warped = warp_image_matmul(img_tiled, Hs, compute_dtype=wdt)
+        if cfg.warp_impl == "pallas" and wdt != jnp.float32:
+            warp = lambda img, H: warp_image_fused(img, H, compute_dtype=wdt)
+        else:
+            warp = lambda img, H: warp_image_matmul(img, H, compute_dtype=wdt)
+        warped = warp(img_tiled, Hs)
         # analytic validity masks (no gathers): mask lives in the warped
         # frame (uses H), count in the original frame (uses H^-1)
         mask = compute_valid_mask((H, W), Hs, cfg.valid_border_margin)
@@ -112,8 +122,7 @@ def homography_adaptation(
         count = count.astype(jnp.float32)
 
         prob = prob_fn(warped) * mask  # (chunk*B, H, W)
-        prob_proj = warp_image_matmul(prob[..., None], H_inv,
-                                      compute_dtype=wdt)[..., 0]
+        prob_proj = warp(prob[..., None], H_inv)[..., 0]
         prob_proj = prob_proj * count
 
         alive_b = jnp.repeat(alive, B)[:, None, None]

@@ -55,3 +55,33 @@ def test_warp_matmul_int8_close_to_f32():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2.5e-2, rtol=0)
     assert float(jnp.mean(jnp.abs(a - b))) < 8e-3
+
+
+def test_warp_fused_pallas_matches_matmul():
+    from spnerf_tpu.kernels.warp_pallas import warp_image_fused
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((2, 48, 64, 1)), jnp.float32)
+    cfg = HomographyConfig(allow_artifacts=True, patch_ratio=0.8,
+                           scaling_amplitude=0.2, max_angle=1.57)
+    Hs = jax.vmap(lambda k: sample_homography(k, (48, 64), cfg))(
+        jax.random.split(jax.random.PRNGKey(2), 2))
+    ref = np.asarray(warp_image_matmul(img, Hs))
+    for dt, atol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2),
+                     (jnp.int8, 2.5e-2)):
+        got = np.asarray(warp_image_fused(img, Hs, compute_dtype=dt))
+        np.testing.assert_allclose(got, ref, atol=atol, rtol=0,
+                                   err_msg=str(dt))
+
+
+def test_warp_fused_pallas_non_divisible_rows():
+    from spnerf_tpu.kernels.warp_pallas import warp_image_fused
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((1, 40, 64, 1)), jnp.float32)  # 40 % 16 != 0
+    H = jnp.asarray([[[0.95, 0.05, 2.0], [-0.02, 1.03, -1.0],
+                      [1e-4, 0.0, 1.0]]], jnp.float32)
+    ref = np.asarray(warp_image_matmul(img, H))
+    got = np.asarray(warp_image_fused(img, H, compute_dtype=jnp.float32))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
