@@ -146,13 +146,16 @@ def superpoint_loss_fn(
         data["warp"]["valid_mask"] if include_mask else None, grid_size,
     )
     wmask = data["warp"]["valid_mask"] if include_mask else None
-    if pallas_desc and not desc_cfg.normalise_descriptors:
+    if pallas_desc:
         from spnerf_tpu.geometry.homography import warp_points
         from spnerf_tpu.geometry.reprojection import warp_points_nerf
         from spnerf_tpu.kernels.descriptor_loss_pallas import (
             descriptor_loss_pallas,
         )
-        from spnerf_tpu.train.losses import cell_grid_coords
+        from spnerf_tpu.train.losses import (
+            cell_grid_coords,
+            descriptor_loss_normalised_blockwise,
+        )
 
         B, Hc, Wc, _ = out["desc_raw"].shape
         cells = cell_grid_coords(Hc, Wc, desc_cfg.grid_size)
@@ -164,10 +167,18 @@ def superpoint_loss_fn(
             )
         else:
             warped_cells = warp_points(cells, data["homography"])
-        desc, pos, neg = descriptor_loss_pallas(
-            out["desc_raw"], warped_out["desc_raw"], warped_cells,
-            desc_cfg, wmask,
-        )
+        if desc_cfg.normalise_descriptors:
+            # global row/col volume norms don't fit the streaming
+            # kernel; checkpointed-scan path keeps memory O(tile*N)
+            desc, pos, neg = descriptor_loss_normalised_blockwise(
+                out["desc_raw"], warped_out["desc_raw"], warped_cells,
+                desc_cfg, wmask,
+            )
+        else:
+            desc, pos, neg = descriptor_loss_pallas(
+                out["desc_raw"], warped_out["desc_raw"], warped_cells,
+                desc_cfg, wmask,
+            )
     elif nerf_desc:
         desc, pos, neg = descriptor_loss_nerf(
             out["desc_raw"], warped_out["desc_raw"],
@@ -206,8 +217,9 @@ class StepConfig:
     aug: HomographyConfig | None = None
     erosion: int = 0
     pair: bool = False  # SuperPoint warped-pair mode
-    # blockwise Pallas descriptor loss (normalise=False only); the dense
-    # MXU-matmul path is used when False
+    # blockwise descriptor loss: Pallas streaming kernel
+    # (normalise=False) or checkpointed-scan path (normalise=True);
+    # the dense MXU-matmul path is used when False
     pallas_desc: bool = False
     # detection threshold for validation precision/recall (reference
     # train.py:190 uses the config det_thresh)

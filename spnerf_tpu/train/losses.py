@@ -183,3 +183,103 @@ def descriptor_loss_nerf(
     return descriptor_loss_from_cells(
         desc_raw, warped_desc_raw, warped, config, valid_mask
     )
+
+
+def descriptor_loss_normalised_blockwise(
+    desc_raw: jnp.ndarray,
+    warped_desc_raw: jnp.ndarray,
+    warped_cells: jnp.ndarray,
+    config: DescriptorLossConfig,
+    valid_mask: jnp.ndarray | None = None,
+    tile: int = 400,
+):
+    """O(tile*N)-memory ``normalise_descriptors=True`` descriptor loss.
+
+    Bitwise-equivalent reformulation of the dense normalise branch of
+    ``descriptor_loss_from_cells`` (reference losses.py:74-84: relu'd
+    dot volume double-normalized across warped cells then raw cells)
+    that never materializes the (N, N) volume with AD residuals
+    attached. The row norm ||relu(A_n . B^T)|| only needs the n-th
+    row, so it is local to a row tile; only the column norm couples
+    rows, so two checkpointed scans over row tiles suffice:
+
+        pass 1: accumulate c2[m] = sum_n (relu(dot)/r_n)[n, m]^2
+        pass 2: hinge sums on V = (relu(dot)/r_n)/c_m
+
+    Each scan body recomputes its (tile, N) dot block on the MXU
+    (flash-attention-style); jax.checkpoint re-runs it in the backward
+    pass, so AD residual memory is O(tile*N), not O(N^2). The hot
+    normalise=False path has a hand-written Pallas kernel
+    (kernels/descriptor_loss_pallas.py); this variant is config-rare
+    (every shipped reference config sets normalise_descriptors: False)
+    so it trades a little recompute for zero extra kernel surface.
+    """
+    cfg = config
+    g = cfg.grid_size
+    B, Hc, Wc, C = desc_raw.shape
+    N = Hc * Wc
+    radius = float(g) - 0.5
+
+    cells = cell_grid_coords(Hc, Wc, g)  # (N, 2) warped-image centers
+    A = desc_raw.reshape(B, N, C)
+    Bm = warped_desc_raw.reshape(B, N, C)
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    Bm = Bm / (jnp.linalg.norm(Bm, axis=-1, keepdims=True) + 1e-12)
+
+    if valid_mask is None:
+        mask_m = jnp.ones((B, N), jnp.float32)
+    else:
+        mask_m = _cell_mask(valid_mask, g).reshape(B, N)
+
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    pad = Np - N
+
+    def one(a, bm, wc, mm):
+        # pad rows: zero descriptors (dot row 0 -> U row 0, no c2 or
+        # hinge contribution) and far-away warped cells (s = 0)
+        a_p = jnp.pad(a, ((0, pad), (0, 0)))
+        wy = jnp.pad(wc[:, 0], (0, pad), constant_values=1e9)
+        wx = jnp.pad(wc[:, 1], (0, pad), constant_values=1e9)
+        a_t = a_p.reshape(n_tiles, tile, C)
+        wy_t = wy.reshape(n_tiles, tile)
+        wx_t = wx.reshape(n_tiles, tile)
+
+        def row_block(a_tile):
+            dot = jax.nn.relu(a_tile @ bm.T)  # (tile, N)
+            r = jnp.linalg.norm(dot, axis=1, keepdims=True) + 1e-12
+            return dot / r  # U rows
+
+        @jax.checkpoint
+        def pass1(c2, a_tile):
+            u = row_block(a_tile)
+            return c2 + jnp.sum(u * u, axis=0), None
+
+        c2, _ = jax.lax.scan(pass1, jnp.zeros((N,), jnp.float32), a_t)
+        c = jnp.sqrt(c2) + 1e-12  # (N,) column norms of U
+
+        @jax.checkpoint
+        def pass2(sums, inp):
+            a_tile, wy_i, wx_i = inp
+            v = row_block(a_tile) / c[None, :]
+            d2 = (cells[None, :, 0] - wy_i[:, None]) ** 2 + (
+                cells[None, :, 1] - wx_i[:, None]) ** 2
+            s = (d2 <= radius * radius).astype(jnp.float32)
+            pos = cfg.lambda_d * s * jax.nn.relu(cfg.positive_margin - v)
+            neg = (1.0 - s) * jax.nn.relu(v - cfg.negative_margin)
+            w = mm[None, :]
+            return (sums[0] + jnp.sum(w * (pos + neg)),
+                    sums[1] + jnp.sum(w * pos),
+                    sums[2] + jnp.sum(w * neg)), None
+
+        zeros = (jnp.zeros((), jnp.float32),) * 3
+        (s_pair, s_pos, s_neg), _ = jax.lax.scan(
+            pass2, zeros, (a_t, wy_t, wx_t))
+        return s_pair, s_pos, s_neg
+
+    s_pair, s_pos, s_neg = jax.vmap(one)(A, Bm, warped_cells, mask_m)
+    normalization = jnp.sum(mask_m) * N
+    loss = cfg.lambda_loss * jnp.sum(s_pair) / normalization
+    pos = jax.lax.stop_gradient(jnp.sum(s_pos) / normalization)
+    neg = jax.lax.stop_gradient(jnp.sum(s_neg) / normalization)
+    return loss, pos, neg

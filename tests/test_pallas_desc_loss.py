@@ -71,3 +71,49 @@ def test_pallas_no_mask(setup):
         jnp.asarray(desc), jnp.asarray(wdesc), jnp.asarray(warped), cfg,
         None, interpret=True)
     np.testing.assert_allclose(float(fused[0]), float(dense[0]), rtol=5e-3)
+
+
+def test_normalised_blockwise_matches_dense(setup):
+    import dataclasses
+
+    from spnerf_tpu.train.losses import descriptor_loss_normalised_blockwise
+
+    cfg, desc, wdesc, warped, valid = setup
+    ncfg = dataclasses.replace(cfg, normalise_descriptors=True)
+
+    dense = descriptor_loss_from_cells(
+        jnp.asarray(desc), jnp.asarray(wdesc), jnp.asarray(warped), ncfg,
+        jnp.asarray(valid))
+    # tile smaller than N=48 so the scan actually tiles (and pads)
+    blk = descriptor_loss_normalised_blockwise(
+        jnp.asarray(desc), jnp.asarray(wdesc), jnp.asarray(warped), ncfg,
+        jnp.asarray(valid), tile=16)
+    for i in range(3):
+        np.testing.assert_allclose(float(blk[i]), float(dense[i]),
+                                   rtol=2e-3, atol=1e-9, err_msg=str(i))
+
+
+def test_normalised_blockwise_gradients(setup):
+    import dataclasses
+
+    from spnerf_tpu.train.losses import descriptor_loss_normalised_blockwise
+
+    cfg, desc, wdesc, warped, valid = setup
+    ncfg = dataclasses.replace(cfg, normalise_descriptors=True)
+
+    def dense_loss(a, b):
+        return descriptor_loss_from_cells(a, b, jnp.asarray(warped), ncfg,
+                                          jnp.asarray(valid))[0]
+
+    def blk_loss(a, b):
+        return descriptor_loss_normalised_blockwise(
+            a, b, jnp.asarray(warped), ncfg, jnp.asarray(valid), tile=16)[0]
+
+    ga_d, gb_d = jax.grad(dense_loss, argnums=(0, 1))(
+        jnp.asarray(desc), jnp.asarray(wdesc))
+    ga_b, gb_b = jax.grad(blk_loss, argnums=(0, 1))(
+        jnp.asarray(desc), jnp.asarray(wdesc))
+    np.testing.assert_allclose(np.asarray(ga_b), np.asarray(ga_d),
+                               rtol=5e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gb_b), np.asarray(gb_d),
+                               rtol=5e-3, atol=1e-7)
