@@ -38,14 +38,28 @@ def _nms_threshold_points(prob_nms: np.ndarray, det_thresh: float) -> np.ndarray
     return np.argwhere(prob_nms >= det_thresh).astype(np.int64)
 
 
-def make_prob_fn(model: SuperPoint, variables, fast: bool = False):
+def make_prob_fn(model: SuperPoint, variables, fast: bool = False,
+                 serving=None):
     """(B, H, W, 1) -> (B, H, W) decoded probability heatmap, jittable.
 
     ``fast=True`` folds BatchNorm into the convs and runs the forward in
     bf16 — the production export graph (HA export is the pipeline's
     throughput bottleneck: 100 forwards x ~118k COCO images per round,
     reference export.py:83-114). Decode stays f32.
+
+    ``serving`` (a built ``ops.serving.ServingSuperPoint``) routes the
+    forward through the int8 Pallas conv stack instead — ~1.5x the
+    bf16-folded XLA graph; task-level label parity is pinned by
+    benchmarks/eval_serving_demo.py.
     """
+    if serving is not None:
+        def prob_fn(image):
+            out = serving(image)
+            return decode_detector_logits(out["logits"].astype(jnp.float32),
+                                          model.config.grid_size)
+
+        return prob_fn
+
     if not fast:
         def prob_fn(image):
             out = model.apply(variables, image, train=False)
@@ -102,8 +116,25 @@ def export_pseudo_labels(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     det_cfg = config["model"]["detector_head"]
+    exp_cfg = config.get("export", {}) or {}
     ha_cfg = HAConfig.from_dict(config.get("homography_adaptation", {}))
-    prob_fn = make_prob_fn(model, variables, fast=fast)
+    det_thresh = float(det_cfg["det_thresh"])
+    top_k = int(det_cfg.get("top_k", 0) or 0)
+    # device-side point extraction cap when top_k is unlimited: NMS'd
+    # 240x320 heatmaps carry a few hundred survivors, so 4096 == "all"
+    # in practice while keeping the D2H transfer ~50 KB instead of the
+    # full heatmap (a ~60 ms/batch tunnel round-trip)
+    k_cap = top_k if top_k > 0 else int(exp_cfg.get("topk_cap", 4096))
+
+    serving = None
+    if exp_cfg.get("serving", False):
+        from spnerf_tpu.ops.serving import ServingSuperPoint
+        # calibrate activation scales on the first real batch
+        first = next(iter(loader))
+        calib = jnp.asarray(np.asarray(first["image"])[:8])
+        serving = ServingSuperPoint.build(model.config, variables, calib,
+                                          mode="int8")
+    prob_fn = make_prob_fn(model, variables, fast=fast, serving=serving)
 
     n_shard = 1
     batch_sharding = None
@@ -112,51 +143,75 @@ def export_pseudo_labels(
 
         n_shard = mesh.devices.size
         batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+    # fixed device batch: every batch pads to one static shape so the
+    # HA program compiles once (a trailing short batch would otherwise
+    # recompile the whole fan-out)
+    b_fixed = -(-int(config["data"].get("batch_size", 1)) // n_shard) * n_shard
 
     @jax.jit
-    def plain_heatmap(image):
-        return prob_fn(image)
+    def ha_points(image_u8, img_keys):
+        """uint8 batch -> (scores, ys, xs) top-k NMS'd detections.
 
-    @partial(jax.jit, static_argnames=())
-    def nms_heatmap(prob):
-        return jax.vmap(
-            lambda p: box_nms(
-                p, size=det_cfg["nms"], iou=0.1,
-                min_prob=det_cfg["det_thresh"],
-                keep_top_k=det_cfg["top_k"],
-            )
-        )(prob)
-
-    key = jax.random.PRNGKey(seed)
-    for bi, batch in enumerate(loader):
-        names = batch["name"]
-        todo = [i for i, n in enumerate(names) if not (out_dir / f"{n}.npy").exists()]
-        if not todo:
-            continue
-        image = jnp.asarray(batch["image"])
-        n_real = image.shape[0]
-        pad = (-n_real) % n_shard
-        key, sub = jax.random.split(key)
-        # per-image keys from the UNPADDED batch: padding to a shardable
-        # size must not reshuffle the homographies of real images, so
-        # sharded exports stay bit-identical to single-device runs
-        img_keys = jax.random.split(sub, n_real)
-        if pad:  # pad to a shardable batch; padded rows are discarded
-            image = jnp.concatenate(
-                [image, jnp.repeat(image[-1:], pad, axis=0)], axis=0)
-            img_keys = jnp.concatenate(
-                [img_keys, jnp.repeat(img_keys[-1:], pad, axis=0)], axis=0)
-        if batch_sharding is not None:
-            image = jax.device_put(image, batch_sharding)
-            img_keys = jax.device_put(img_keys, batch_sharding)
+        uint8 in (4x less H2D than f32 over the serving tunnel),
+        fixed-size point lists out: the full-resolution heatmap never
+        leaves the device.
+        """
+        image = image_u8.astype(jnp.float32) * (1.0 / 255.0)
         if enable_ha:
             prob = homography_adaptation(prob_fn, image, img_keys, ha_cfg)
         else:
-            prob = plain_heatmap(image)
-        prob_nms = np.asarray(nms_heatmap(prob))[:n_real]
-        for i in todo:
-            pred = _nms_threshold_points(prob_nms[i], det_cfg["det_thresh"])
-            np.save(out_dir / f"{names[i]}.npy", pred)
+            prob = prob_fn(image)
+        pn = jax.vmap(
+            lambda p: box_nms(
+                p, size=det_cfg["nms"], iou=0.1,
+                min_prob=det_thresh, keep_top_k=top_k,
+            )
+        )(prob)
+        Bp, _, W = pn.shape
+        scores, idx = jax.lax.top_k(pn.reshape(Bp, -1), k_cap)
+        return scores, idx // W, idx % W
+
+    def flush(pending):
+        names_todo, res, _ = pending
+        scores, ys, xs = (np.asarray(r) for r in res)
+        for i, name in names_todo:
+            keep = scores[i] >= det_thresh
+            pred = np.stack([ys[i][keep], xs[i][keep]], axis=-1).astype(np.int64)
+            np.save(out_dir / f"{name}.npy", pred)
+
+    key = jax.random.PRNGKey(seed)
+    pending = None  # 1-deep software pipeline: host IO overlaps device HA
+    for bi, batch in enumerate(loader):
+        names = batch["name"]
+        img = np.asarray(batch["image"])
+        n_real = img.shape[0]
+        key, sub = jax.random.split(key)
+        todo = [(i, n) for i, n in enumerate(names)
+                if not (out_dir / f"{n}.npy").exists()]
+        if not todo:
+            continue
+        # per-image keys from the UNPADDED batch: padding to the fixed
+        # batch must not reshuffle the homographies of real images, so
+        # sharded/padded exports stay bit-identical to plain runs
+        img_keys = np.asarray(jax.random.split(sub, n_real))
+        pad = max(b_fixed, -(-n_real // n_shard) * n_shard) - n_real
+        image_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        if pad:  # padded rows are discarded on flush
+            image_u8 = np.concatenate(
+                [image_u8, np.repeat(image_u8[-1:], pad, axis=0)], axis=0)
+            img_keys = np.concatenate(
+                [img_keys, np.repeat(img_keys[-1:], pad, axis=0)], axis=0)
+        if batch_sharding is not None:
+            image_u8 = jax.device_put(image_u8, batch_sharding)
+            img_keys = jax.device_put(jnp.asarray(img_keys), batch_sharding)
+        else:
+            img_keys = jnp.asarray(img_keys)
+        res = ha_points(image_u8, img_keys)
+        if pending is not None:
+            flush(pending)  # previous batch: device work already done
+        pending = (todo, res, n_real)
+    if pending is not None:
+        flush(pending)
     return out_dir
 
 
