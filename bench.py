@@ -8,9 +8,11 @@ Baseline target (BASELINE.md): >= 5,000 frames/sec/chip on TPU v5e.
 Protocol: full production inference through the int8 Pallas serving
 stack (ops/serving.ServingSuperPoint): BN-folded VGG backbone + heads as
 row-band MXU conv kernels (W-pair packing for the C=64 layers, int8
-weights/activations calibrated PTQ, fused requantization), fused
-logits->keypoints decode (softmax + candidate extraction without the
-depth-to-space relayout; ops/fast_inference.detect_from_logits),
+weights/activations calibrated PTQ, fused requantization), a fused
+banded-Toeplitz conv1+conv2+pool entry kernel, fused tail kernels
+(blocks 7-8 + each head incl. the in-kernel softmax decode,
+kernels/tail_fused_pallas.py), candidate extraction straight off the
+padded probabilities (ops/fast_inference.detect_from_probs_padded),
 candidate NMS + top-K, and bicubic descriptor sampling AT keypoints as
 one combined-weight MXU matmul (sample_descriptors_onehot) — the TPU-native
 equivalent of the reference's dense x8 upsample path
@@ -30,7 +32,7 @@ import jax.numpy as jnp
 
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
-    detect_from_logits,
+    detect_from_probs_padded,
     sample_descriptors_onehot,
 )
 from spnerf_tpu.ops.serving import ServingSuperPoint
@@ -48,9 +50,9 @@ def build_inference(config: SuperPointConfig, variables, calib, mode):
 
     @jax.jit
     def infer(image):
-        out = sp(image)
-        pts, scores, valid = detect_from_logits(
-            out["logits"], cfg.grid_size, min_prob=cfg.det_thresh,
+        out = sp(image, softmax=True)
+        pts, scores, valid = detect_from_probs_padded(
+            out["probs_padded"], cfg.grid_size, min_prob=cfg.det_thresh,
             size=cfg.nms, top_k=TOP_K, num_candidates=1024,
         )
         desc = jax.vmap(

@@ -10,12 +10,15 @@ import numpy as np
 
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
-    detect_from_logits, sample_descriptors_onehot,
+    detect_from_probs_padded, sample_descriptors_onehot,
 )
 from spnerf_tpu.ops.serving import ServingSuperPoint, _BACKBONE, _get
 from spnerf_tpu.kernels.conv12_fused_pallas import conv12_fused
 from spnerf_tpu.kernels.conv_stack_pallas import (
-    conv3x3_pallas, dot_bias_act_pallas, packed_conv3x3_pallas, unpack_pairs,
+    conv3x3_pallas, packed_conv3x3_pallas, unpack_pairs,
+)
+from spnerf_tpu.kernels.tail_fused_pallas import (
+    double_conv3x3_pallas, head_pallas,
 )
 
 H, W, B = 480, 640, 64
@@ -59,7 +62,7 @@ def main():
     act = f(x)
     s_prev = s2
 
-    for name, packed, pool in _BACKBONE[1:]:
+    for name, packed, pool in _BACKBONE[1:-2]:
         w, mult, bias, s_next = sp._wmb(name, s_prev)
         if packed:
             f = jax.jit(lambda a, w=w, m=mult, b=bias, p=pool:
@@ -78,35 +81,36 @@ def main():
             act = unpack_pairs(act)
         s_prev = s_next
 
-    w, mult, bias, s_pa = sp._wmb("detector/convPa", s_prev)
-    f = jax.jit(lambda a: conv3x3_pallas(a, w, mult, bias, out_dtype=jnp.int8))
+    w7, m7, b7, s7 = sp._wmb("backbone/block7", s_prev)
+    w8, m8, b8, s_prev = sp._wmb("backbone/block8", s7)
+    f = jax.jit(lambda a: double_conv3x3_pallas(a, w7, m7, b7, w8, m8, b8,
+                                                out_dtype=jnp.int8))
     dt = timeit(f, act); total += dt
-    print(f"convPa           : {dt:7.2f} ms")
-    det = f(act)
+    print(f"block7+8 fused   : {dt:7.2f} ms")
+    act = f(act)
+
+    w, mult, bias, s_pa = sp._wmb("detector/convPa", s_prev)
     wh, mh, bh, cout = sp._head_wmb("detector/convPb", s_pa)
-    f = jax.jit(lambda a: dot_bias_act_pallas(a, wh, mh, bh, relu=False,
-                                              out_dtype=jnp.bfloat16)[..., :cout])
-    dt = timeit(f, det); total += dt
-    print(f"convPb           : {dt:7.2f} ms")
-    logits = f(det)
+    f = jax.jit(lambda a: head_pallas(a, w, mult, bias, wh, mh, bh,
+                                      softmax_lanes=cout,
+                                      out_dtype=jnp.bfloat16))
+    dt = timeit(f, act); total += dt
+    print(f"det head fused   : {dt:7.2f} ms   (convPa+convPb+softmax)")
+    probs = f(act)
 
-    w, mult, bias, s_da = sp._wmb("descriptor/convDa", s_prev)
-    f2 = jax.jit(lambda a: conv3x3_pallas(a, w, mult, bias, out_dtype=jnp.int8))
-    dt = timeit(f2, act); total += dt
-    print(f"convDa           : {dt:7.2f} ms")
-    desc = f2(act)
+    w2d, m2d, b2d, s_da = sp._wmb("descriptor/convDa", s_prev)
     wh2, mh2, bh2, cout2 = sp._head_wmb("descriptor/convDb", s_da)
-    f3 = jax.jit(lambda a: dot_bias_act_pallas(a, wh2, mh2, bh2, relu=False,
-                                               out_dtype=jnp.bfloat16))
-    dt = timeit(f3, desc); total += dt
-    print(f"convDb           : {dt:7.2f} ms")
-    desc_raw = f3(desc)[..., :cout2]
+    f3 = jax.jit(lambda a: head_pallas(a, w2d, m2d, b2d, wh2, mh2, bh2,
+                                       out_dtype=jnp.bfloat16))
+    dt = timeit(f3, act); total += dt
+    print(f"desc head fused  : {dt:7.2f} ms   (convDa+convDb)")
+    desc_raw = f3(act)[..., :cout2]
 
-    f4 = jax.jit(lambda l: detect_from_logits(l, 8, min_prob=0.015, size=4,
-                                              top_k=1000, num_candidates=1024))
-    dt = timeit(f4, logits); total += dt
+    f4 = jax.jit(lambda p: detect_from_probs_padded(
+        p, 8, min_prob=0.015, size=4, top_k=1000, num_candidates=1024))
+    dt = timeit(f4, probs); total += dt
     print(f"detect           : {dt:7.2f} ms")
-    pts, scores, valid = f4(logits)
+    pts, scores, valid = f4(probs)
 
     f5 = jax.jit(lambda d, p: jax.vmap(
         lambda dd, pp: sample_descriptors_onehot(dd, pp, 8))(d, p))

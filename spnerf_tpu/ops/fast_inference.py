@@ -89,6 +89,40 @@ def detect_from_logits(
     return _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_size", "size", "iou",
+                                             "num_candidates", "top_k"))
+def detect_from_probs_padded(
+    probs: jnp.ndarray,
+    grid_size: int = 8,
+    min_prob: float = 0.015,
+    size: int = 4,
+    iou: float = 0.1,
+    num_candidates: int = 1024,
+    top_k: int = 1000,
+):
+    """Keypoints from lane-padded cell probabilities (B, Hc, Wc, L).
+
+    Consumes the output of ``head_pallas(..., softmax_lanes=65)``: lanes
+    [0, 64) hold the post-softmax within-cell probabilities (dustbin
+    already dropped, reference heads.py:25-29), lanes >= 64 are exactly
+    zero. ``approx_max_k`` runs directly over the padded layout — the
+    zero pad lanes can never outrank a (strictly positive) softmax
+    probability, so no slice/relayout pass is needed. Same keypoints as
+    ``detect_from_logits`` up to the serving dtype rounding.
+    """
+    B, Hc, Wc, L = probs.shape
+    g2 = grid_size * grid_size
+    flat = probs.reshape(B, -1)  # ranked in the serving dtype (bf16 ok)
+    C = min(num_candidates, flat.shape[1])
+    scores, idx = jax.lax.approx_max_k(flat, C, recall_target=0.95)
+    scores = scores.astype(jnp.float32)
+    cell = idx // L
+    within = idx % L  # < g2 for any candidate that can rank
+    ys = (cell // Wc * grid_size + within // grid_size).astype(jnp.float32)
+    xs = (cell % Wc * grid_size + within % grid_size).astype(jnp.float32)
+    return _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k)
+
+
 def _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k):
     """Shared candidate NMS + top-k tail (see ``detect_keypoints``)."""
     C = scores.shape[1]

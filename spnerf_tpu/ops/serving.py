@@ -38,6 +38,10 @@ from spnerf_tpu.kernels.conv_stack_pallas import (
     packed_conv3x3_pallas,
     unpack_pairs,
 )
+from spnerf_tpu.kernels.tail_fused_pallas import (
+    double_conv3x3_pallas,
+    head_pallas,
+)
 from spnerf_tpu.models.superpoint import fold_batch_norm
 from spnerf_tpu.ops.quantization import quantize_weights
 
@@ -87,9 +91,11 @@ class ServingSuperPoint:
     )
     DESC_CONVS = ["descriptor/convDa", "descriptor/convDb"]
 
-    def __init__(self, folded_params, act_scales, has_descriptor, mode):
+    def __init__(self, folded_params, act_scales, has_descriptor, mode,
+                 fused_tail=True):
         assert mode in ("int8", "bf16")
         self.mode = mode
+        self.fused_tail = fused_tail
         self.has_descriptor = has_descriptor
         self.params = folded_params["params"]
         self.act_scales = act_scales  # {conv name: f32 scale of its OUTPUT}
@@ -111,7 +117,7 @@ class ServingSuperPoint:
 
     @classmethod
     def build(cls, config, variables, calib_images=None, mode="int8",
-              eps: float = 1e-5):
+              eps: float = 1e-5, fused_tail: bool = True):
         folded = fold_batch_norm(variables, eps)
         scales = None
         if mode == "int8":
@@ -119,7 +125,8 @@ class ServingSuperPoint:
                 raise ValueError("int8 mode needs calibration images")
             scales = cls._calibrate(folded, config.has_descriptor,
                                     calib_images)
-        return cls(folded, scales, config.has_descriptor, mode)
+        return cls(folded, scales, config.has_descriptor, mode,
+                   fused_tail=fused_tail)
 
     @staticmethod
     def _calibrate(folded, has_descriptor, images):
@@ -239,7 +246,11 @@ class ServingSuperPoint:
             x = chunk(image)
         return x, s_prev
 
-    def __call__(self, image):
+    def __call__(self, image, softmax: bool = False):
+        """Forward pass. ``softmax=True`` (fused tail only) applies the
+        detector decode in-kernel and returns ``probs_padded`` — lane-
+        padded cell probabilities for ``detect_from_probs_padded`` —
+        instead of ``logits``."""
         _, H, W, _ = image.shape
         if H % 16 != 0 or W % 8 != 0:
             # conv12_fused uses 16-row bands + fused 2x2 pool; the
@@ -271,6 +282,12 @@ class ServingSuperPoint:
         else:
             x, s_prev = self._conv1(image, act)
 
+        if self.fused_tail:
+            # blocks 7-8 + each head collapse into whole-image fused
+            # kernels at 60x80 (kernels/tail_fused_pallas.py) — same
+            # int8 chain, no per-layer HBM round trips
+            backbone = backbone[:-2]
+
         for name, packed, pool in backbone:
             w, mult, bias, s_prev = self._wmb(name, s_prev)
             # the stack's 2x2 maxpools fuse into the conv epilogues, so
@@ -284,6 +301,31 @@ class ServingSuperPoint:
             if name == "backbone/block5":
                 x = unpack_pairs(x)     # (B, 120, 160, 128) plain from here
 
+        if self.fused_tail:
+            w7, m7, b7, s7 = self._wmb("backbone/block7", s_prev)
+            w8, m8, b8, s_prev = self._wmb("backbone/block8", s7)
+            x = double_conv3x3_pallas(x, w7, m7, b7, w8, m8, b8,
+                                      out_dtype=act)
+            w, mult, bias, s_pa = self._wmb("detector/convPa", s_prev)
+            wh, mh, bh, cout = self._head_wmb("detector/convPb", s_pa)
+            if softmax:
+                out = {"probs_padded": head_pallas(
+                    x, w, mult, bias, wh, mh, bh, softmax_lanes=cout,
+                    out_dtype=jnp.bfloat16)}
+            else:
+                out = {"logits": head_pallas(
+                    x, w, mult, bias, wh, mh, bh,
+                    out_dtype=jnp.bfloat16)[..., :cout]}
+            if self.has_descriptor:
+                w, mult, bias, s_da = self._wmb("descriptor/convDa", s_prev)
+                wh, mh, bh, cout = self._head_wmb("descriptor/convDb", s_da)
+                out["desc_raw"] = head_pallas(
+                    x, w, mult, bias, wh, mh, bh,
+                    out_dtype=jnp.bfloat16)[..., :cout]
+            return out
+
+        if softmax:
+            raise ValueError("softmax=True requires fused_tail=True")
         w, mult, bias, s_pa = self._wmb("detector/convPa", s_prev)
         det = conv3x3_pallas(x, w, mult, bias, out_dtype=act)
         wh, mh, bh, cout = self._head_wmb("detector/convPb", s_pa)
