@@ -38,7 +38,7 @@ from spnerf_tpu.ops.fast_inference import (
 from spnerf_tpu.ops.serving import ServingSuperPoint
 
 H, W = 480, 640
-BATCH = 64
+BATCH = int(os.environ.get("SPNERF_BENCH_BATCH", "64"))
 TOP_K = 1000
 BASELINE_FPS = 5000.0
 
