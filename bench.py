@@ -43,9 +43,10 @@ TOP_K = 1000
 BASELINE_FPS = 5000.0
 
 
-def build_inference(config: SuperPointConfig, variables, calib, mode):
+def build_inference(config: SuperPointConfig, variables, calib, mode,
+                    fused_mid=True):
     sp = ServingSuperPoint.build(config, variables, calib_images=calib,
-                                 mode=mode)
+                                 mode=mode, fused_mid=fused_mid)
     cfg = config
 
     @jax.jit
@@ -71,8 +72,19 @@ def main():
     import numpy as np
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, H, W, 1))
-    infer = build_inference(cfg, variables, x[:8], mode)
-    np.asarray(infer(x)[1])  # warmup / compile + materialize
+    fused_mid = os.environ.get("SPNERF_BENCH_FUSED_MID", "1") == "1"
+    infer = build_inference(cfg, variables, x[:8], mode, fused_mid=fused_mid)
+    try:
+        np.asarray(infer(x)[1])  # warmup / compile + materialize
+    except Exception:
+        if not fused_mid:
+            raise
+        # fall back to the per-layer mid kernels if the fused mid-stack
+        # kernel fails to compile on this backend
+        fused_mid = False
+        infer = build_inference(cfg, variables, x[:8], mode,
+                                fused_mid=False)
+        np.asarray(infer(x)[1])
 
     n_iters = 20
     t0 = time.perf_counter()

@@ -38,6 +38,7 @@ from spnerf_tpu.kernels.conv_stack_pallas import (
     packed_conv3x3_pallas,
     unpack_pairs,
 )
+from spnerf_tpu.kernels.mid_fused_pallas import double_packed_conv3x3_pallas
 from spnerf_tpu.kernels.tail_fused_pallas import (
     double_conv3x3_pallas,
     head_pallas,
@@ -92,10 +93,11 @@ class ServingSuperPoint:
     DESC_CONVS = ["descriptor/convDa", "descriptor/convDb"]
 
     def __init__(self, folded_params, act_scales, has_descriptor, mode,
-                 fused_tail=True):
+                 fused_tail=True, fused_mid=True):
         assert mode in ("int8", "bf16")
         self.mode = mode
         self.fused_tail = fused_tail
+        self.fused_mid = fused_mid
         self.has_descriptor = has_descriptor
         self.params = folded_params["params"]
         self.act_scales = act_scales  # {conv name: f32 scale of its OUTPUT}
@@ -117,7 +119,8 @@ class ServingSuperPoint:
 
     @classmethod
     def build(cls, config, variables, calib_images=None, mode="int8",
-              eps: float = 1e-5, fused_tail: bool = True):
+              eps: float = 1e-5, fused_tail: bool = True,
+              fused_mid: bool = True):
         folded = fold_batch_norm(variables, eps)
         scales = None
         if mode == "int8":
@@ -126,7 +129,7 @@ class ServingSuperPoint:
             scales = cls._calibrate(folded, config.has_descriptor,
                                     calib_images)
         return cls(folded, scales, config.has_descriptor, mode,
-                   fused_tail=fused_tail)
+                   fused_tail=fused_tail, fused_mid=fused_mid)
 
     @staticmethod
     def _calibrate(folded, has_descriptor, images):
@@ -288,7 +291,25 @@ class ServingSuperPoint:
             # int8 chain, no per-layer HBM round trips
             backbone = backbone[:-2]
 
-        for name, packed, pool in backbone:
+        bi = 0
+        while bi < len(backbone):
+            name, packed, pool = backbone[bi]
+            if self.fused_mid and name == "backbone/block3":
+                # blocks 3-4 and 5-6 each collapse into one fused packed
+                # kernel (kernels/mid_fused_pallas.py): the mid activation
+                # lives in VMEM scratch, the pool fuses into the epilogue,
+                # and block6 runs packed (Co2=256) instead of plain
+                wa, ma, ba, sa = self._wmb("backbone/block3", s_prev)
+                wb, mb, bb, s_prev = self._wmb("backbone/block4", sa)
+                x = double_packed_conv3x3_pallas(x, wa, ma, ba, wb, mb, bb,
+                                                 out_dtype=act, pool=True)
+                wa, ma, ba, sa = self._wmb("backbone/block5", s_prev)
+                wb, mb, bb, s_prev = self._wmb("backbone/block6", sa)
+                x = double_packed_conv3x3_pallas(x, wa, ma, ba, wb, mb, bb,
+                                                 out_dtype=act, pool=True)
+                x = unpack_pairs(x)     # (B, H/8, W/8, 128) plain from here
+                bi += 4
+                continue
             w, mult, bias, s_prev = self._wmb(name, s_prev)
             # the stack's 2x2 maxpools fuse into the conv epilogues, so
             # pre-pool activations never round-trip through HBM
@@ -300,6 +321,7 @@ class ServingSuperPoint:
                                    pool=pool)
             if name == "backbone/block5":
                 x = unpack_pairs(x)     # (B, 120, 160, 128) plain from here
+            bi += 1
 
         if self.fused_tail:
             w7, m7, b7, s7 = self._wmb("backbone/block7", s_prev)
