@@ -28,7 +28,6 @@ from pathlib import Path
 
 import numpy as np
 
-from spnerf_tpu.data.nerf_dataset import camera_intrinsics
 from spnerf_tpu.models.nerf import NeRFConfig
 from spnerf_tpu.settings import DATA_PATH
 from spnerf_tpu.tasks.nerf_task import render_dataset, train_nerf_scene
@@ -48,12 +47,14 @@ def arc_poses(n: int, radius: float, height: float, start_deg: float):
 
 
 def write_pose_pairs(scenes, pairs_path: Path, n_test: int,
-                     min_gap: int, max_gap: int, shape):
-    K = camera_intrinsics(shape, 60.0)
-    k_flat = " ".join(f"{v:.6f}" for v in K.ravel())
+                     min_gap: int, max_gap: int):
     rng = np.random.default_rng(7)
     lines = []
     for scene in scenes:
+        # EXACT renderer intrinsics: the same K the views were rendered
+        # with, not a recomputed one (sizes must agree by construction)
+        K = np.load(Path(DATA_PATH, "NeRF_gt", scene, "intrinsics.npy"))
+        k_flat = " ".join(f"{v:.6f}" for v in K.ravel())
         poses = np.load(Path(DATA_PATH, "NeRF", scene, "poses_test.npy"))
         for i in range(n_test):
             gap = int(rng.integers(min_gap, max_gap + 1))
@@ -109,8 +110,9 @@ def main():
             images, poses, K, config=config, num_iters=args.iters,
             ray_batch=args.ray_batch, seed=args.seed)
         t_train = time.time() - t0
+        final = f"{history[-1]:.5f}" if history else "n/a"
         print(f"{scene}: NeRF trained {args.iters} it in {t_train:.0f}s, "
-              f"final loss {history[-1]:.5f}", flush=True)
+              f"final loss {final}", flush=True)
 
         # training split: 120 deg arc at fixed mid height
         train_poses = arc_poses(args.n_train_views, radius=4.0, height=0.3,
@@ -134,7 +136,7 @@ def main():
 
     n_pairs = write_pose_pairs(
         scenes, Path(DATA_PATH, "nerf_pose_pairs.txt"),
-        n_test=args.n_test_views, min_gap=2, max_gap=5, shape=(240, 320))
+        n_test=args.n_test_views, min_gap=2, max_gap=5)
     print(f"wrote {n_pairs} GT pose pairs")
     report_path = Path(DATA_PATH, "NeRF", "nerf_leg_report.json")
     report_path.parent.mkdir(parents=True, exist_ok=True)

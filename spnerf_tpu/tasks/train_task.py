@@ -197,7 +197,13 @@ def iter_forever(loader):
 
 
 def _to_device(batch: dict, mesh):
-    batch = {k: v for k, v in batch.items() if k != "name"}
+    # drop host-only fields: string arrays (e.g. "name"/"warped_name"
+    # from the collator) never go to the device
+    batch = {
+        k: v for k, v in batch.items()
+        if not (isinstance(v, np.ndarray) and v.dtype.kind in "USO")
+        and not isinstance(v, (str, bytes))
+    }
     arrays = jax.tree.map(jnp.asarray, batch)
     if mesh is not None:
         arrays = shard_batch(arrays, mesh)
