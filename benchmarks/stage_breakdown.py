@@ -62,8 +62,10 @@ def main():
     act = f(x)
     s_prev = s2
 
+    # per-layer mid blocks (the fused_mid=False fallback), for comparison
+    act_u, s_u = act, s_prev
     for name, packed, pool in _BACKBONE[1:-2]:
-        w, mult, bias, s_next = sp._wmb(name, s_prev)
+        w, mult, bias, s_next = sp._wmb(name, s_u)
         if packed:
             f = jax.jit(lambda a, w=w, m=mult, b=bias, p=pool:
                         packed_conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8,
@@ -72,14 +74,30 @@ def main():
             f = jax.jit(lambda a, w=w, m=mult, b=bias, p=pool:
                         conv3x3_pallas(a, w, m, b, out_dtype=jnp.int8,
                                        pool=p))
-        dt = timeit(f, act)
-        total += dt
+        dt = timeit(f, act_u)
         tag = "+pool" if pool else "     "
-        print(f"{name}{tag}: {dt:7.2f} ms  in={act.shape}")
-        act = f(act)
+        print(f"  [unfused] {name}{tag}: {dt:7.2f} ms  in={act_u.shape}")
+        act_u = f(act_u)
         if name == "backbone/block5":
-            act = unpack_pairs(act)
-        s_prev = s_next
+            act_u = unpack_pairs(act_u)
+        s_u = s_next
+
+    # fused mid pairs (the production fused_mid=True path)
+    from spnerf_tpu.kernels.mid_fused_pallas import double_packed_conv3x3_pallas
+    w3, m3, b3, s3 = sp._wmb("backbone/block3", s_prev)
+    w4, m4, b4, s4 = sp._wmb("backbone/block4", s3)
+    f = jax.jit(lambda a: double_packed_conv3x3_pallas(
+        a, w3, m3, b3, w4, m4, b4, out_dtype=jnp.int8, pool=True))
+    dt = timeit(f, act); total += dt
+    print(f"block3+4 fused   : {dt:7.2f} ms  in={act.shape}")
+    act = f(act)
+    w5, m5, b5, s5 = sp._wmb("backbone/block5", s4)
+    w6, m6, b6, s_prev = sp._wmb("backbone/block6", s5)
+    f = jax.jit(lambda a: unpack_pairs(double_packed_conv3x3_pallas(
+        a, w5, m5, b5, w6, m6, b6, out_dtype=jnp.int8, pool=True)))
+    dt = timeit(f, act); total += dt
+    print(f"block5+6 fused   : {dt:7.2f} ms  in={act.shape}")
+    act = f(act)
 
     w7, m7, b7, s7 = sp._wmb("backbone/block7", s_prev)
     w8, m8, b8, s_prev = sp._wmb("backbone/block8", s7)
