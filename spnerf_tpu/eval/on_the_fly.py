@@ -27,6 +27,23 @@ from spnerf_tpu.models.superpoint import superpoint_inference
 from spnerf_tpu.utils.config import apply_overrides, load_config
 
 
+def bootstrap_ci(values, n_boot=2000, alpha=0.05, seed=0):
+    """Percentile bootstrap 95% CI of the mean over evaluation pairs.
+
+    The demo corpus is small (~150 pairs); reporting the resampling
+    interval makes round-over-round metric deltas interpretable (a
+    ±several-point interval means a 2-point delta is noise).
+    """
+    vals = np.asarray(values, np.float64)
+    if len(vals) < 2:
+        return float("nan"), float("nan")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(vals), (n_boot, len(vals)))
+    means = vals[idx].mean(axis=1)
+    lo, hi = np.quantile(means, [alpha / 2, 1 - alpha / 2])
+    return float(lo), float(hi)
+
+
 def _build(config):
     from spnerf_tpu.tasks.train_task import restore_pretrained
     from spnerf_tpu.utils.factories import get_model
@@ -58,9 +75,12 @@ def run_repeatability(config, k_points=300, distance_thresh=3):
         rep, _, _ = repeatability_pair(prob1, prob2, H, k_points, distance_thresh)
         if rep is not None:
             reps.append(rep)
+    lo, hi = bootstrap_ci(reps)
     result = {"repeatability": float(np.mean(reps)) if reps else 0.0,
+              "repeatability_ci95": [lo, hi],
               "pairs": len(reps)}
-    print(f"repeatability: {result['repeatability']:.4f} over {result['pairs']} pairs")
+    print(f"repeatability: {result['repeatability']:.4f} "
+          f"(95% CI [{lo:.4f}, {hi:.4f}]) over {result['pairs']} pairs")
     return result
 
 
@@ -80,13 +100,19 @@ def run_descriptors(config, k_points=1000, correctness_thresh=3.0):
         )
         correctness.append(est["correctness"])
         mscores.append(est["matching_score"])
+    clo, chi = bootstrap_ci(correctness)
+    mlo, mhi = bootstrap_ci(mscores)
     result = {
         "correctness": float(np.mean(correctness)) if correctness else 0.0,
+        "correctness_ci95": [clo, chi],
         "matching_score": float(np.mean(mscores)) if mscores else 0.0,
+        "matching_score_ci95": [mlo, mhi],
         "pairs": len(correctness),
     }
-    print(f"correctness: {result['correctness']:.4f}  "
+    print(f"correctness: {result['correctness']:.4f} "
+          f"(95% CI [{clo:.4f}, {chi:.4f}])  "
           f"matching_score: {result['matching_score']:.4f} "
+          f"(95% CI [{mlo:.4f}, {mhi:.4f}]) "
           f"over {result['pairs']} pairs")
     return result
 
