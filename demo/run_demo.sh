@@ -55,9 +55,14 @@ run_leg() {
     sp)
         train_leg demo/configs/superpoint_demo.yaml demo_sp 50000 ;;
     eval)
+        # evaluate the latest demo_sp checkpoint (the config's 50k path
+        # may not exist if a train leg was deadline-cut)
+        it=$(latest_iter demo_sp)
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
+            --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
             --mode repeatability --k-points 300
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
+            --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
             --mode descriptors --k-points 1000 ;;
     nerf_data)
         python demo/make_nerf_scenes.py ;;
