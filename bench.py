@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.fast_inference import (
+    detect_from_logits,
     detect_from_probs_padded,
     sample_descriptors_onehot,
 )
@@ -44,18 +45,26 @@ BASELINE_FPS = 5000.0
 
 
 def build_inference(config: SuperPointConfig, variables, calib, mode,
-                    fused_mid=True):
+                    fused_mid=True, fused_tail=True):
     sp = ServingSuperPoint.build(config, variables, calib_images=calib,
-                                 mode=mode, fused_mid=fused_mid)
+                                 mode=mode, fused_mid=fused_mid,
+                                 fused_tail=fused_tail)
     cfg = config
 
     @jax.jit
     def infer(image):
-        out = sp(image, softmax=True)
-        pts, scores, valid = detect_from_probs_padded(
-            out["probs_padded"], cfg.grid_size, min_prob=cfg.det_thresh,
-            size=cfg.nms, top_k=TOP_K, num_candidates=1024,
-        )
+        if fused_tail:
+            out = sp(image, softmax=True)
+            pts, scores, valid = detect_from_probs_padded(
+                out["probs_padded"], cfg.grid_size, min_prob=cfg.det_thresh,
+                size=cfg.nms, top_k=TOP_K, num_candidates=1024,
+            )
+        else:
+            out = sp(image)
+            pts, scores, valid = detect_from_logits(
+                out["logits"], cfg.grid_size, min_prob=cfg.det_thresh,
+                size=cfg.nms, top_k=TOP_K, num_candidates=1024,
+            )
         desc = jax.vmap(
             lambda d, p: sample_descriptors_onehot(d, p, cfg.grid_size)
         )(out["desc_raw"], pts)
@@ -72,19 +81,21 @@ def main():
     import numpy as np
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, H, W, 1))
-    fused_mid = os.environ.get("SPNERF_BENCH_FUSED_MID", "1") == "1"
-    infer = build_inference(cfg, variables, x[:8], mode, fused_mid=fused_mid)
-    try:
-        np.asarray(infer(x)[1])  # warmup / compile + materialize
-    except Exception:
-        if not fused_mid:
-            raise
-        # fall back to the per-layer mid kernels if the fused mid-stack
-        # kernel fails to compile on this backend
-        fused_mid = False
+    want_mid = os.environ.get("SPNERF_BENCH_FUSED_MID", "1") == "1"
+    # degrade through the fusion matrix if a fused kernel fails to
+    # compile on this backend — a bench number always lands
+    attempts = [(want_mid, True), (False, True), (want_mid, False),
+                (False, False)]
+    infer = None
+    for i, (fm, ft) in enumerate(dict.fromkeys(attempts)):
         infer = build_inference(cfg, variables, x[:8], mode,
-                                fused_mid=False)
-        np.asarray(infer(x)[1])
+                                fused_mid=fm, fused_tail=ft)
+        try:
+            np.asarray(infer(x)[1])  # warmup / compile + materialize
+            break
+        except Exception:
+            if i == len(dict.fromkeys(attempts)) - 1:
+                raise
 
     n_iters = 20
     t0 = time.perf_counter()
