@@ -291,10 +291,13 @@ class ServingSuperPoint:
             # int8 chain, no per-layer HBM round trips
             backbone = backbone[:-2]
 
+        # the fused mid pair at blocks 5-6 pools packed W/8 pairs, which
+        # needs W % 16; fall back to per-layer kernels for narrower grids
+        fused_mid = self.fused_mid and W % 16 == 0
         bi = 0
         while bi < len(backbone):
             name, packed, pool = backbone[bi]
-            if self.fused_mid and name == "backbone/block3":
+            if fused_mid and name == "backbone/block3":
                 # blocks 3-4 and 5-6 each collapse into one fused packed
                 # kernel (kernels/mid_fused_pallas.py): the mid activation
                 # lives in VMEM scratch, the pool fuses into the epilogue,

@@ -106,3 +106,18 @@ def test_serving_fused_mid_bit_identical(served, mode):
                                   np.asarray(ou["logits"], np.float32))
     np.testing.assert_array_equal(np.asarray(of["desc_raw"], np.float32),
                                   np.asarray(ou["desc_raw"], np.float32))
+
+
+def test_serving_fused_mid_w8_fallback(served):
+    """W % 8 == 0 but W % 16 != 0: the fused mid pair cannot pool packed
+    W/8 pairs, so serving silently uses the per-layer kernels and still
+    matches them exactly."""
+    cfg, variables, _ = served
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 72, 1))
+    sp_f = ServingSuperPoint.build(cfg, variables, calib_images=x,
+                                   mode="int8", fused_mid=True)
+    sp_u = ServingSuperPoint.build(cfg, variables, calib_images=x,
+                                   mode="int8", fused_mid=False)
+    of, ou = sp_f(x), sp_u(x)
+    np.testing.assert_array_equal(np.asarray(of["logits"], np.float32),
+                                  np.asarray(ou["logits"], np.float32))
