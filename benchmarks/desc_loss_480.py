@@ -23,6 +23,7 @@ from spnerf_tpu.kernels.descriptor_loss_pallas import descriptor_loss_pallas
 from spnerf_tpu.train.losses import (
     DescriptorLossConfig,
     descriptor_loss_from_cells,
+    descriptor_loss_normalised_blockwise,
 )
 
 H, W, C = 480, 640, 256
@@ -57,6 +58,8 @@ def main():
         cells = jnp.stack([ys.ravel(), xs.ravel()], -1)
         wcells = cells[None] + jax.random.normal(kc, (B, Hc * Wc, 2)) * 6.0
 
+        ncfg = DescriptorLossConfig(normalise_descriptors=True)
+
         def dense_loss(a, bm, wc):
             loss, pos, neg = descriptor_loss_from_cells(a, bm, wc, dcfg)
             return loss
@@ -65,9 +68,21 @@ def main():
             loss, pos, neg = descriptor_loss_pallas(a, bm, wc, dcfg)
             return loss
 
-        # pallas first: peak_bytes_in_use is monotone since process start,
-        # so the low-memory path must be measured before the dense one
-        for name, fn in (("pallas", pallas_loss), ("dense", dense_loss)):
+        def norm_blockwise_loss(a, bm, wc):
+            loss, pos, neg = descriptor_loss_normalised_blockwise(
+                a, bm, wc, ncfg)
+            return loss
+
+        def norm_dense_loss(a, bm, wc):
+            loss, pos, neg = descriptor_loss_from_cells(a, bm, wc, ncfg)
+            return loss
+
+        # low-memory paths first: peak_bytes_in_use is monotone since
+        # process start, so measure them before the dense ones
+        for name, fn in (("pallas", pallas_loss),
+                         ("norm_blockwise", norm_blockwise_loss),
+                         ("dense", dense_loss),
+                         ("norm_dense", norm_dense_loss)):
             g = jax.jit(jax.grad(fn))
             try:
                 ms, _ = bench(g, (A, Bm, wcells))
