@@ -23,9 +23,58 @@ Set SPNERF_BENCH_MODE=bf16 to measure the bf16 kernel stack instead.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "(x @ x).block_until_ready();"
+    "print('PROBE_OK', jax.devices()[0].platform)"
+)
+
+
+def wait_for_backend(max_wait_s: float, probe_timeout_s: float = 120.0,
+                     retry_s: float = 30.0) -> bool:
+    """Gate on a tiny-matmul probe in a SUBPROCESS (the tunneled TPU has
+    two outage modes: fast init failure and a hang where even importing
+    jax blocks — a subprocess + timeout survives both; in-process retry
+    would not, since jax caches a failed backend). Retries until the
+    probe passes or ``max_wait_s`` elapses."""
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+                env=os.environ.copy(),
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True
+            detail = (r.stderr or r.stdout).strip().splitlines()
+            detail = detail[-1] if detail else "rc=%d" % r.returncode
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        print(f"[bench] backend probe {attempt} failed ({detail}); "
+              f"{remaining:.0f}s of retry budget left", file=sys.stderr)
+        if remaining <= retry_s:
+            return False
+        time.sleep(retry_s)
+
+
+if not wait_for_backend(float(os.environ.get("SPNERF_BENCH_MAX_WAIT_S",
+                                             "900"))):
+    # one parseable line instead of a stack trace; nonzero rc marks the
+    # capture as failed without erasing why
+    print(json.dumps({"metric": "superpoint_inference_480x640",
+                      "error": "TPU backend unavailable after probe retries"}))
+    sys.exit(1)
 
 import jax
 import jax.numpy as jnp
@@ -87,14 +136,20 @@ def main():
     attempts = [(want_mid, True), (False, True), (want_mid, False),
                 (False, False)]
     infer = None
-    for i, (fm, ft) in enumerate(dict.fromkeys(attempts)):
+    plan = list(dict.fromkeys(attempts))
+    fm = ft = None
+    for i, (fm, ft) in enumerate(plan):
         infer = build_inference(cfg, variables, x[:8], mode,
                                 fused_mid=fm, fused_tail=ft)
         try:
             np.asarray(infer(x)[1])  # warmup / compile + materialize
             break
-        except Exception:
-            if i == len(dict.fromkeys(attempts)) - 1:
+        except Exception as e:
+            # never silently bench a less-fused graph: say which config
+            # failed and why so round-over-round numbers stay comparable
+            print(f"[bench] fused_mid={fm} fused_tail={ft} failed to "
+                  f"compile/run: {type(e).__name__}: {e}", file=sys.stderr)
+            if i == len(plan) - 1:
                 raise
 
     n_iters = 20
@@ -112,6 +167,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "mode": mode,
+        "fused_mid": fm,
+        "fused_tail": ft,
     }))
 
 

@@ -71,6 +71,18 @@ class DataLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        closed = threading.Event()
+
+        def put(item) -> bool:
+            # bounded-poll put so generator .close() can terminate the
+            # worker instead of leaving it blocked forever on a full queue
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def load_batch(batch_idx):
             if self.num_workers > 1:
@@ -87,17 +99,21 @@ class DataLoader:
         def worker():
             try:
                 for batch_idx in self._index_stream():
-                    q.put(load_batch(batch_idx))
-                q.put(stop)
+                    if not put(load_batch(batch_idx)):
+                        return
+                put(stop)
             except BaseException as e:  # propagate into the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            closed.set()

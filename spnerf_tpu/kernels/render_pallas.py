@@ -50,8 +50,11 @@ def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
     O(R*s_chunk) so 512-ray blocks fit VMEM (the old whole-sample-axis
     scratch OOM'd past block=256), and (b) gives occupancy skipping its
     granularity: a chunk whose flag is 0 (see ops/occupancy.py) is
-    skipped entirely under ``pl.when`` — exact, since empty chunks
-    contribute alpha = 0 and leave the compositing state unchanged.
+    skipped entirely under ``pl.when`` — conservative up to the flag
+    builder's alpha_thresh (1e-3): ops/occupancy.py bounds the
+    view-dependent sigma over ALL directions, so a skipped chunk's
+    contribution is provably below threshold and the compositing state
+    is left unchanged.
     Compositing state (rgb / depth / transmittance) lives in scratch so
     it survives the skip predicates."""
     jitter = jit_ref[0, 0]

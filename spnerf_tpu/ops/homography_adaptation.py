@@ -91,6 +91,11 @@ def homography_adaptation(
     if n_extra == 0:
         return prob0
 
+    # accept new-style typed PRNG keys (ndim 0 single / ndim 1 batch) by
+    # normalising to raw uint32 key data, which the chunk reshapes below
+    # rely on ((..., 2) trailing dim)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
     img_keys = jax.random.split(key, B) if key.ndim == 1 else key
     # (B, pad_total, 2): warp keys are a pure function of each image's
     # own stream, so batch padding cannot reshuffle them

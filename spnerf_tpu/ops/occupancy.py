@@ -11,8 +11,14 @@ dead chunks (``pl.when``), which is exact — an empty chunk contributes
 alpha = 0 and leaves the compositing state unchanged.
 
 Conservative construction:
-  - sigma is evaluated at 2x grid resolution (df = 0) and max-pooled,
-    then dilated by one voxel;
+  - sigma is probed at 2x grid resolution with a DIRECTION-ROBUST upper
+    bound (sigma in the tiny field is view-dependent: df is added before
+    layer 2, models/fused_tiny_nerf.py). Since df = sin(d@A+c) @ wd and
+    |sin| <= 1, each feature satisfies |df_j| <= sum_i |wd[i,j]| =: m_j,
+    so h2_j = relu(z_j + df_j) lies in [relu(z_j - m_j), relu(z_j + m_j)]
+    and sigma = h2 @ w3[:,0] is maximised by taking the upper end where
+    w3[j,0] >= 0 and the lower end where w3[j,0] < 0. The probe grid is
+    then max-pooled and dilated by one voxel;
   - a block-chunk AABB is the axis box of the chunk's segment
     endpoints over all rays in the block (a segment lies in the box of
     its endpoints), queried against the grid via a 3-D integral image;
@@ -35,20 +41,32 @@ from spnerf_tpu.models.fused_tiny_nerf import HID, TinyFieldConfig, make_encodin
 
 def field_sigma_grid(params, config: TinyFieldConfig, resolution: int = 96,
                      extent: float | None = None) -> jnp.ndarray:
-    """Raw density of the tiny fused field on a (res, res, res) grid over
-    [-extent, extent]^3 (cell centers, 2x supersampled + max-pooled)."""
+    """Direction-robust upper bound on the raw density of the tiny fused
+    field on a (res, res, res) grid over [-extent, extent]^3 (cell
+    centers, 2x supersampled + max-pooled).
+
+    sigma is view-dependent (df added before layer 2); the probe bounds
+    it over ALL directions via |df_j| <= sum_i |wd[i,j]| (see module
+    docstring), so skipping stays conservative for any trained field."""
     ext = float(extent if extent is not None else config.far)
     A, c = make_encoding(config)
     r2 = resolution * 2
     xs = (jnp.arange(r2) + 0.5) / r2 * (2 * ext) - ext
+    dmax = jnp.abs(params["wd"]).sum(axis=0)  # (HID,): |df_j| bound
+    w3_sigma = params["w3"][:, 0]
+    pos = jnp.maximum(w3_sigma, 0.0)
+    neg = jnp.minimum(w3_sigma, 0.0)
 
     def sigma_plane(x):
         yy, zz = jnp.meshgrid(xs, xs, indexing="ij")
         pts = jnp.stack([jnp.full_like(yy, x), yy, zz], -1).reshape(-1, 3)
         enc = jnp.sin(pts @ A + c)
         h = jax.nn.relu(enc @ params["w1"])
-        h = jax.nn.relu(h @ params["w2"])  # df = 0 (direction-free probe)
-        return (h @ params["w3"])[:, 0].reshape(r2, r2)
+        z = h @ params["w2"]
+        hi = jax.nn.relu(z + dmax)  # upper end of h2 over all directions
+        lo = jax.nn.relu(z - dmax)  # lower end
+        sig_ub = hi @ pos + lo @ neg
+        return sig_ub.reshape(r2, r2)
 
     sig = jax.lax.map(sigma_plane, xs)  # (r2, r2, r2)
     # 2x2x2 max-pool back to resolution

@@ -129,8 +129,13 @@ def export_pseudo_labels(
     serving = None
     if exp_cfg.get("serving", False):
         from spnerf_tpu.ops.serving import ServingSuperPoint
-        # calibrate activation scales on the first real batch
-        first = next(iter(loader))
+        # calibrate activation scales on the first real batch; close the
+        # prefetch iterator so its daemon worker thread doesn't linger
+        # blocked on a full queue
+        cal_it = iter(loader)
+        first = next(cal_it)
+        if hasattr(cal_it, "close"):
+            cal_it.close()
         calib = jnp.asarray(np.asarray(first["image"])[:8])
         serving = ServingSuperPoint.build(model.config, variables, calib,
                                           mode="int8")

