@@ -79,14 +79,27 @@ run_leg() {
         train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf 20000 \
             --train-nerf --nerf-loss ;;
     pose)
-        echo "== pose AUC: NeRF-supervised SuperPoint =="
-        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml
-        echo "== pose AUC: homography-supervised SuperPoint (same iters) =="
+        # three-row table (VERDICT r2/r3 #1): NeRF-supervised vs
+        # homography at matched iters vs homography latest; JSON lines
+        # land in docs/evidence/ so numbers are committed, not quoted
+        local out=docs/evidence/pose_auc_results.jsonl
+        local it_nerf it_sp
+        it_nerf=$(latest_iter demo_sp_nerf)
+        it_sp=$(latest_iter demo_sp)
+        echo "== pose AUC: NeRF-supervised SuperPoint (iter $it_nerf) =="
         python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-            --set pretrained=demo_sp/demo_sp_20000.ckpt
-        echo "== pose AUC: homography-supervised SuperPoint (full 50k) =="
+            --set pretrained="demo_sp_nerf/demo_sp_nerf_${it_nerf}.ckpt" \
+            --json-out "$out"
+        if [ -f "$SPNERF_ROOT/ckpts/demo_sp/demo_sp_${it_nerf}.ckpt" ]; then
+            echo "== pose AUC: homography SuperPoint (matched iters $it_nerf) =="
+            python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
+                --set pretrained="demo_sp/demo_sp_${it_nerf}.ckpt" \
+                --json-out "$out"
+        fi
+        echo "== pose AUC: homography SuperPoint (latest $it_sp) =="
         python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-            --set pretrained=demo_sp/demo_sp_50000.ckpt ;;
+            --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
+            --json-out "$out" ;;
     esac
 }
 

@@ -311,12 +311,39 @@ def estimate_pose_errors(config: dict, infer_fn, pairs: list[list[str]]):
 
     thresholds = [5, 10, 20]
     aucs = [100.0 * a for a in error_auc(pose_errors, thresholds)]
-    return {
+    results = {
         "auc5": aucs[0], "auc10": aucs[1], "auc20": aucs[2],
         "precision": 100.0 * float(np.mean(precisions)) if precisions else 0.0,
         "matching_score": 100.0 * float(np.mean(mscores)) if mscores else 0.0,
         "num_pairs": len(pose_errors),
     }
+    if pose_errors:
+        results["ci95"] = bootstrap_ci(pose_errors, precisions, mscores,
+                                       thresholds)
+    return results
+
+
+def bootstrap_ci(pose_errors, precisions, mscores, thresholds,
+                 n_boot: int = 1000, seed: int = 0):
+    """95%% percentile bootstrap CIs over pairs for every reported
+    metric (pairs are the independent sampling unit)."""
+    rng = np.random.default_rng(seed)
+    pe = np.asarray(pose_errors)
+    pr = np.asarray(precisions)
+    ms = np.asarray(mscores)
+    n = len(pe)
+    stats = {k: [] for k in ("auc5", "auc10", "auc20", "precision",
+                             "matching_score")}
+    for _ in range(n_boot):
+        idx = rng.integers(0, n, n)
+        aucs = error_auc(pe[idx], thresholds)
+        stats["auc5"].append(100.0 * aucs[0])
+        stats["auc10"].append(100.0 * aucs[1])
+        stats["auc20"].append(100.0 * aucs[2])
+        stats["precision"].append(100.0 * float(pr[idx].mean()))
+        stats["matching_score"].append(100.0 * float(ms[idx].mean()))
+    return {k: [float(np.percentile(v, 2.5)), float(np.percentile(v, 97.5))]
+            for k, v in stats.items()}
 
 
 def build_infer_fn(config: dict):
@@ -369,6 +396,9 @@ def main(argv=None):
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE")
+    p.add_argument("--json-out", default=None,
+                   help="append results as one JSON line (with the "
+                        "checkpoint tag) to this file")
     args = p.parse_args(argv)
     config = apply_overrides(load_config(args.config_path), args.overrides)
 
@@ -387,6 +417,12 @@ def main(argv=None):
     print("AUC@5\t AUC@10\t AUC@20\t Prec\t MScore")
     print("{auc5:.2f}\t {auc10:.2f}\t {auc20:.2f}\t {precision:.2f}\t "
           "{matching_score:.2f}".format(**results))
+    if args.json_out:
+        import json
+
+        results["pretrained"] = config.get("pretrained")
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(results) + "\n")
     return results
 
 

@@ -1,0 +1,83 @@
+#!/bin/bash
+# Round-4 chip orchestrator: runs every on-chip leg serially, gated on a
+# subprocess TPU probe (the tunneled worker has two outage modes: fast
+# init failure and a hang where even `import jax` blocks — both are
+# survived by probing in a child with a timeout). Every leg is
+# resumable (train legs resume from the newest checkpoint; renders skip
+# finished scenes; exports skip existing files), so retries are cheap.
+#
+# Usage: nohup bash tools/r4_orchestrate.sh &   (logs to runs/logs/)
+set -u
+cd "$(dirname "$0")/.."
+export SPNERF_ROOT=/root/repo/runs
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax
+LOG=runs/logs/r4_orch.log
+mkdir -p runs/logs docs/evidence
+exec >> "$LOG" 2>&1
+echo "##### orchestrator start $(date -u)"
+
+# While a chip leg runs the host core is owned by the loader: other
+# sessions check this flag before starting CPU-heavy work.
+BUSY=/tmp/r4_busy
+trap 'rm -f "$BUSY"' EXIT
+
+probe() {
+    local n=0
+    while true; do
+        if timeout 120 python -c \
+            "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); (x @ x).block_until_ready(); print('PROBE_OK')" \
+            >/dev/null 2>&1; then
+            return 0
+        fi
+        n=$((n + 1))
+        echo "$(date -u +%H:%M:%S) probe #$n failed; retry in 120s"
+        sleep 120
+    done
+}
+
+# stage <name> <attempts> <per_attempt_timeout_s> <cmd...>
+stage() {
+    local name=$1 attempts=$2 tmo=$3; shift 3
+    local done_flag="runs/logs/r4_${name}.done"
+    if [ -f "$done_flag" ]; then
+        echo "=== stage $name already done, skipping"
+        return 0
+    fi
+    local a
+    for a in $(seq 1 "$attempts"); do
+        echo "=== $(date -u) stage $name attempt $a/$attempts: $*"
+        probe
+        touch "$BUSY"
+        if timeout "$tmo" "$@"; then
+            rm -f "$BUSY"
+            touch "$done_flag"
+            echo "=== $(date -u) stage $name OK"
+            return 0
+        fi
+        rm -f "$BUSY"
+        echo "=== $(date -u) stage $name attempt $a failed (rc=$?)"
+        sleep 60
+    done
+    echo "=== stage $name GIVING UP after $attempts attempts"
+    return 1
+}
+
+# 1. quick perf captures first: committed evidence even if the tunnel
+#    dies later in the round
+stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
+
+# 2. the NeRF-supervision chain (VERDICT #1, third consecutive round)
+stage nerf      4 10800 python demo/run_nerf_leg.py
+stage nerf_export 4 7200 bash demo/run_demo.sh nerf_export
+stage nerf_sp   8 7200 bash demo/run_demo.sh nerf_sp
+stage pose      3 7200 bash demo/run_demo.sh pose
+
+# 3. finish the homography demo leg + quality evals
+stage sp        8 7200 bash demo/run_demo.sh sp
+stage pose_final 3 7200 bash demo/run_demo.sh pose
+stage eval      3 7200 bash demo/run_demo.sh eval
+
+# 4. NeRF renderer measurement (VERDICT #3)
+stage bench_nerf 3 3600 bash -c 'set -o pipefail; python bench_nerf.py | tee docs/evidence/bench_nerf_r4.json'
+
+echo "##### orchestrator finished $(date -u)"
