@@ -94,7 +94,7 @@ class ServingSuperPoint:
 
     def __init__(self, folded_params, act_scales, has_descriptor, mode,
                  fused_tail=True, fused_mid=True):
-        assert mode in ("int8", "bf16")
+        assert mode in ("int8", "bf16", "mixed")
         self.mode = mode
         self.fused_tail = fused_tail
         self.fused_mid = fused_mid
@@ -102,12 +102,25 @@ class ServingSuperPoint:
         self.params = folded_params["params"]
         self.act_scales = act_scales  # {conv name: f32 scale of its OUTPUT}
         self.weights_q = {}
-        if mode == "int8":
+        if mode in ("int8", "mixed"):
             for name in self._conv_names():
                 if name == "backbone/block1":
                     continue  # f32 patch dot, only its output is quantized
+                if self._head_is_bf16(name):
+                    continue  # mixed: heads stay bf16, no quantization
                 conv = _get(self.params, name)
                 self.weights_q[name] = quantize_weights(conv["kernel"])
+
+    # In "mixed" mode the backbone runs int8 (where ~80% of the time is)
+    # while the decision-critical heads run bf16: near det_thresh the
+    # softmax'd detector logits are sensitive to the last layers'
+    # rounding, which caused the int8-vs-bf16 exact-label IoU gap at
+    # threshold 0.001 (docs/PERF.md round-3 HA section).
+    _HEAD_NAMES = frozenset({"detector/convPa", "detector/convPb",
+                             "descriptor/convDa", "descriptor/convDb"})
+
+    def _head_is_bf16(self, name):
+        return self.mode == "mixed" and name in self._HEAD_NAMES
 
     def _conv_names(self):
         names = list(self.CONVS)
@@ -123,9 +136,9 @@ class ServingSuperPoint:
               fused_mid: bool = True):
         folded = fold_batch_norm(variables, eps)
         scales = None
-        if mode == "int8":
+        if mode in ("int8", "mixed"):
             if calib_images is None:
-                raise ValueError("int8 mode needs calibration images")
+                raise ValueError(f"{mode} mode needs calibration images")
             scales = cls._calibrate(folded, config.has_descriptor,
                                     calib_images)
         return cls(folded, scales, config.has_descriptor, mode,
@@ -170,11 +183,11 @@ class ServingSuperPoint:
         scale ``s_in`` (None => f32/bf16 input with unit scale)."""
         node = _get(self.params, name)
         bias = node["bias"]
-        s_out = self.act_scales[name] if self.mode == "int8" else None
-        if self.mode == "bf16":
+        if self.mode == "bf16" or self._head_is_bf16(name):
             w = node["kernel"].astype(jnp.bfloat16)
             mult = jnp.ones_like(bias)
             return w, mult, bias, None
+        s_out = self.act_scales[name]
         wq, ws = self.weights_q[name]
         mult = (1.0 if s_in is None else s_in) * ws / s_out
         return wq, mult, bias / s_out, s_out
@@ -187,7 +200,7 @@ class ServingSuperPoint:
         bias = node["bias"]
         cout = bias.shape[0]
         pad = (-cout) % 128
-        if self.mode == "bf16":
+        if self.mode == "bf16" or self._head_is_bf16(name):
             kernel = node["kernel"][0, 0].astype(jnp.bfloat16)
             mult = jnp.ones((cout,), jnp.float32)
         else:
@@ -261,9 +274,10 @@ class ServingSuperPoint:
             raise ValueError(
                 f"ServingSuperPoint: input {H}x{W} must have H % 16 == 0 "
                 f"and W % 8 == 0 (pad the image before serving)")
-        act = jnp.int8 if self.mode == "int8" else jnp.bfloat16
+        act = jnp.int8 if self.mode in ("int8", "mixed") else jnp.bfloat16
+        act_head = jnp.int8 if self.mode == "int8" else jnp.bfloat16
         backbone = _BACKBONE
-        if self.mode == "int8":
+        if self.mode in ("int8", "mixed"):
             # image -> conv1 -> conv2 -> pool in ONE kernel: the two
             # full-resolution layers never touch HBM (see
             # kernels/conv12_fused_pallas.py)
@@ -331,6 +345,10 @@ class ServingSuperPoint:
             w8, m8, b8, s_prev = self._wmb("backbone/block8", s7)
             x = double_conv3x3_pallas(x, w7, m7, b7, w8, m8, b8,
                                       out_dtype=act)
+            if self.mode == "mixed":
+                # dequantize ONCE at the head boundary; heads run bf16
+                x = x.astype(jnp.bfloat16) * jnp.bfloat16(s_prev)
+                s_prev = None
             w, mult, bias, s_pa = self._wmb("detector/convPa", s_prev)
             wh, mh, bh, cout = self._head_wmb("detector/convPb", s_pa)
             if softmax:
@@ -351,15 +369,18 @@ class ServingSuperPoint:
 
         if softmax:
             raise ValueError("softmax=True requires fused_tail=True")
+        if self.mode == "mixed":
+            x = x.astype(jnp.bfloat16) * jnp.bfloat16(s_prev)
+            s_prev = None
         w, mult, bias, s_pa = self._wmb("detector/convPa", s_prev)
-        det = conv3x3_pallas(x, w, mult, bias, out_dtype=act)
+        det = conv3x3_pallas(x, w, mult, bias, out_dtype=act_head)
         wh, mh, bh, cout = self._head_wmb("detector/convPb", s_pa)
         logits = dot_bias_act_pallas(det, wh, mh, bh, relu=False,
                                      out_dtype=jnp.bfloat16)[..., :cout]
         out = {"logits": logits}
         if self.has_descriptor:
             w, mult, bias, s_da = self._wmb("descriptor/convDa", s_prev)
-            desc = conv3x3_pallas(x, w, mult, bias, out_dtype=act)
+            desc = conv3x3_pallas(x, w, mult, bias, out_dtype=act_head)
             wh, mh, bh, cout = self._head_wmb("descriptor/convDb", s_da)
             out["desc_raw"] = dot_bias_act_pallas(desc, wh, mh, bh,
                                                   relu=False,

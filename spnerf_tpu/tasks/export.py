@@ -127,8 +127,13 @@ def export_pseudo_labels(
     k_cap = top_k if top_k > 0 else int(exp_cfg.get("topk_cap", 4096))
 
     serving = None
-    if exp_cfg.get("serving", False):
+    serving_mode = exp_cfg.get("serving", False)
+    if serving_mode:
         from spnerf_tpu.ops.serving import ServingSuperPoint
+        # serving: True selects int8 (back-compat); a string selects the
+        # stack explicitly — "int8", "mixed" (int8 backbone + bf16
+        # heads: closes the near-threshold label gap) or "bf16"
+        mode = serving_mode if isinstance(serving_mode, str) else "int8"
         # calibrate activation scales on the first real batch; close the
         # prefetch iterator so its daemon worker thread doesn't linger
         # blocked on a full queue
@@ -138,7 +143,7 @@ def export_pseudo_labels(
             cal_it.close()
         calib = jnp.asarray(np.asarray(first["image"])[:8])
         serving = ServingSuperPoint.build(model.config, variables, calib,
-                                          mode="int8")
+                                          mode=mode)
     prob_fn = make_prob_fn(model, variables, fast=fast, serving=serving)
 
     n_shard = 1

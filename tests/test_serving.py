@@ -76,3 +76,46 @@ def test_magicpoint_variant(setup):
     out = sp(x)
     assert set(out) == {"logits"}
     assert out["logits"].shape == (1, H // 8, W // 8, 65)
+
+
+def test_mixed_serving_tightens_labels(setup):
+    """mixed = int8 backbone + bf16 heads: must sit between int8 and
+    bf16 in fidelity, and in particular track the float decode more
+    tightly than pure int8 at the ranking level."""
+    cfg, variables, x, ref = setup
+    sp_mixed = ServingSuperPoint.build(cfg, variables, calib_images=x,
+                                       mode="mixed")
+    sp_int8 = ServingSuperPoint.build(cfg, variables, calib_images=x,
+                                      mode="int8")
+    out_m = sp_mixed(x)
+    out_i = sp_int8(x)
+    assert out_m["logits"].shape == ref["logits"].shape
+    prob_ref = np.asarray(decode_detector_logits(ref["logits"],
+                                                 cfg.grid_size))
+
+    def topk_overlap(out, k=50):
+        prob = np.asarray(decode_detector_logits(
+            out["logits"].astype(jnp.float32), cfg.grid_size))
+        top = set(np.argsort(prob.ravel())[-k:])
+        top_ref = set(np.argsort(prob_ref.ravel())[-k:])
+        return len(top & top_ref) / k
+
+    ov_mixed = topk_overlap(out_m)
+    ov_int8 = topk_overlap(out_i)
+    assert ov_mixed >= ov_int8 - 1e-9, (ov_mixed, ov_int8)
+    assert ov_mixed >= 0.9, ov_mixed
+
+
+def test_mixed_serving_nonfused_path(setup):
+    """mixed mode through the per-layer (non-fused-tail) kernels."""
+    cfg, variables, x, ref = setup
+    sp = ServingSuperPoint.build(cfg, variables, calib_images=x,
+                                 mode="mixed", fused_tail=False)
+    out = sp(x)
+    assert out["logits"].shape == ref["logits"].shape
+    prob = np.asarray(decode_detector_logits(
+        out["logits"].astype(jnp.float32), cfg.grid_size))
+    prob_ref = np.asarray(decode_detector_logits(ref["logits"],
+                                                 cfg.grid_size))
+    c = np.corrcoef(prob.ravel(), prob_ref.ravel())[0, 1]
+    assert c > 0.98, c

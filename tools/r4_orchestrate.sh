@@ -24,6 +24,13 @@ trap 'rm -f "$BUSY"' EXIT
 probe() {
     local n=0
     while true; do
+        # a sibling session doing heavy CPU work (test suite, data gen)
+        # raises this flag: wait it out so bench/train captures aren't
+        # polluted by host-core contention (1-core host)
+        while [ -f /tmp/r4_cpu_busy ]; do
+            echo "$(date -u +%H:%M:%S) waiting on /tmp/r4_cpu_busy"
+            sleep 60
+        done
         if timeout 120 python -c \
             "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); (x @ x).block_until_ready(); print('PROBE_OK')" \
             >/dev/null 2>&1; then
@@ -65,6 +72,7 @@ stage() {
 # 1. quick perf captures first: committed evidence even if the tunnel
 #    dies later in the round
 stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
+stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
 
 # 2. the NeRF-supervision chain (VERDICT #1, third consecutive round)
 stage nerf      4 10800 python demo/run_nerf_leg.py
