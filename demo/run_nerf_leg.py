@@ -85,7 +85,14 @@ def main():
     scenes = sorted(p.name for p in gt_root.iterdir() if p.is_dir())
     if not scenes:
         raise SystemExit("no fabricated scenes - run make_nerf_scenes.py")
-    config = NeRFConfig()
+    # demo-sized field: the fabricated scenes are simple textured solids,
+    # so a 4x128 field at 32+64 samples fits them well while cutting the
+    # full default's (8x256, 64+128) FLOPs ~16x; bf16 matmuls run the
+    # MXU at full rate (sigma/compositing stay f32). The full-size
+    # default remains for tools/process_scene.py real-scene use.
+    config = NeRFConfig(depth=4, width=128, skip_layer=2,
+                        n_coarse=32, n_fine=64,
+                        compute_dtype="bfloat16")
     report = {}
     for scene in scenes:
         out_root = Path(DATA_PATH, "NeRF", scene)

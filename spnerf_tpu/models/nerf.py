@@ -90,6 +90,9 @@ class NeRFConfig:
     near: float = 2.0
     far: float = 6.0
     white_background: bool = False
+    # matmul compute dtype ("bfloat16" runs the MXU at full rate —
+    # f32 matmuls run at 1/4-1/8; params/accumulation stay f32)
+    compute_dtype: str = "float32"
 
 
 class NeRFMLP(nn.Module):
@@ -100,18 +103,20 @@ class NeRFMLP(nn.Module):
     @nn.compact
     def __call__(self, pos_enc: jnp.ndarray, dir_enc: jnp.ndarray):
         cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype)
         x = pos_enc
         for i in range(cfg.depth):
-            x = nn.Dense(cfg.width, name=f"layer{i}")(x)
+            x = nn.Dense(cfg.width, name=f"layer{i}", dtype=dt)(x)
             x = nn.relu(x)
             if i + 1 == cfg.skip_layer:
-                x = jnp.concatenate([x, pos_enc], axis=-1)
-        sigma = nn.Dense(1, name="sigma")(x)[..., 0]
-        feat = nn.Dense(cfg.width, name="feature")(x)
-        h = jnp.concatenate([feat, dir_enc], axis=-1)
-        h = nn.relu(nn.Dense(cfg.width // 2, name="view1")(h))
-        rgb = nn.sigmoid(nn.Dense(3, name="rgb")(h))
-        return sigma, rgb
+                x = jnp.concatenate([x, pos_enc.astype(x.dtype)], axis=-1)
+        sigma = nn.Dense(1, name="sigma", dtype=dt)(x)[..., 0]
+        feat = nn.Dense(cfg.width, name="feature", dtype=dt)(x)
+        h = jnp.concatenate([feat, dir_enc.astype(feat.dtype)], axis=-1)
+        h = nn.relu(nn.Dense(cfg.width // 2, name="view1", dtype=dt)(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb", dtype=dt)(h))
+        # composite in f32: alpha/cumprod chains are precision-sensitive
+        return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
 
 
 class NeRF(nn.Module):

@@ -52,6 +52,45 @@ def nerf_train_step(model, params, opt_state, tx, key, origins, dirs, target_rgb
     return params, opt_state, {"loss": loss, "coarse": lc, "fine": lf}
 
 
+@partial(jax.jit,
+         static_argnames=("model", "tx", "config_static", "ray_batch",
+                          "n_steps"),
+         donate_argnames=("params", "opt_state"))
+def nerf_train_scan(model, params, opt_state, tx, key, it0, all_o, all_d,
+                    all_rgb, config_static, ray_batch, n_steps):
+    """``n_steps`` training steps in ONE dispatch, sampling ray batches
+    ON DEVICE from the resident ray pool.
+
+    The tunneled chip charges a ~55 ms floor per host->device transfer
+    (docs/PERF.md), so the per-iteration host-sampled batches of
+    ``nerf_train_step`` dominate wall-clock; keeping the whole ray pool
+    on device (a 240x320x46-view scene is ~130 MB) and scanning steps
+    removes both the transfers and the per-step dispatch."""
+    n_rays = all_o.shape[0]
+
+    def body(carry, i):
+        params, opt_state = carry
+        k = jax.random.fold_in(key, it0 + i)
+        k_idx, k_step = jax.random.split(k)
+        idx = jax.random.randint(k_idx, (ray_batch,), 0, n_rays)
+        o, d, rgb_t = all_o[idx], all_d[idx], all_rgb[idx]
+
+        def loss_fn(p):
+            out = render_rays(model, p, k_step, o, d, config_static)
+            loss_c = jnp.mean((out["rgb_coarse"] - rgb_t) ** 2)
+            loss_f = jnp.mean((out["rgb"] - rgb_t) ** 2)
+            return loss_c + loss_f, (loss_c, loss_f)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), jnp.arange(n_steps))
+    return params, opt_state, losses
+
+
 def train_nerf_scene(
     images: np.ndarray,  # (N, H, W, 3) in [0, 1]
     cam_to_worlds: np.ndarray,  # (N, 4, 4) OpenCV convention
@@ -71,7 +110,8 @@ def train_nerf_scene(
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
-    # precompute all rays once (host memory): (N*H*W, 3) each
+    # precompute all rays ONCE, resident on device: (N*H*W, 3) each —
+    # the scan step then samples batches without any per-iter transfer
     all_o, all_d, all_rgb = [], [], []
     for i in range(N):
         o, d = camera_rays((H, W), jnp.asarray(intrinsics),
@@ -79,23 +119,25 @@ def train_nerf_scene(
         all_o.append(np.asarray(o))
         all_d.append(np.asarray(d))
         all_rgb.append(images[i].reshape(-1, 3))
-    all_o = np.concatenate(all_o)
-    all_d = np.concatenate(all_d)
-    all_rgb = np.concatenate(all_rgb).astype(np.float32)
+    all_o = jnp.asarray(np.concatenate(all_o))
+    all_d = jnp.asarray(np.concatenate(all_d))
+    all_rgb = jnp.asarray(np.concatenate(all_rgb).astype(np.float32))
 
-    rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed + 1)
     history = []
-    for it in range(num_iters):
-        idx = rng.integers(0, len(all_o), ray_batch)
-        key, sub = jax.random.split(key)
-        params, opt_state, metrics = nerf_train_step(
-            model, params, opt_state, tx, sub,
-            jnp.asarray(all_o[idx]), jnp.asarray(all_d[idx]),
-            jnp.asarray(all_rgb[idx]), config,
+    # chunk so there are at most two compiled step programs (full chunk
+    # + one remainder) and log_every boundaries stay observable
+    chunk = min(log_every, 100)
+    it = 0
+    while it < num_iters:
+        n_steps = min(chunk, num_iters - it)
+        params, opt_state, losses = nerf_train_scan(
+            model, params, opt_state, tx, key, it,
+            all_o, all_d, all_rgb, config, ray_batch, n_steps,
         )
-        if (it + 1) % log_every == 0:
-            history.append(float(metrics["loss"]))
+        if (it + n_steps) % log_every == 0 or it + n_steps == num_iters:
+            history.append(float(losses[-1]))
+        it += n_steps
     return model, params, history
 
 

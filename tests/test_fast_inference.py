@@ -19,6 +19,7 @@ from spnerf_tpu.ops.fast_inference import (
 from spnerf_tpu.ops.nms import box_nms
 
 
+@pytest.mark.slow
 def test_fold_batch_norm_matches_bn_inference(rng):
     cfg = SuperPointConfig(model_name="superpoint",
                            vgg_cn=(8, 8, 16, 16, 32, 32, 32, 32),

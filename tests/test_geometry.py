@@ -49,6 +49,7 @@ def test_warp_points_batched(rng):
     np.testing.assert_allclose(np.asarray(got[1, :, 0]), pts[:, 0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sample_homography_shapes_and_invertibility():
     key = jax.random.PRNGKey(0)
     cfg = HomographyConfig(patch_ratio=0.8, allow_artifacts=True,

@@ -111,6 +111,7 @@ def test_sample_descriptors_bilinear_runs(rng):
     np.testing.assert_allclose(float(jnp.linalg.norm(out[0])), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_homography_adaptation_int8_matches_f32():
     """7-bit fixed-point warps through the full HA aggregation stay
     within ~1% of the exact-f32 path (100-warp averaging washes the

@@ -37,6 +37,7 @@ def test_hash_nerf_render():
     assert float(out["depth"].max()) <= TINY.far + 1e-3
 
 
+@pytest.mark.slow
 def test_hash_nerf_overfits():
     model, params = init_hash_nerf(jax.random.PRNGKey(0), TINY)
     tx = optax.adam(1e-2)

@@ -21,6 +21,10 @@ from spnerf_tpu.kernels.mid_fused_pallas import double_packed_conv3x3_pallas
 from spnerf_tpu.models.superpoint import SuperPointConfig, init_superpoint
 from spnerf_tpu.ops.serving import ServingSuperPoint
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def _rand(rng, B, H, Wp, C2, dtype):
     if dtype == jnp.int8:

@@ -2,6 +2,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from spnerf_tpu.models import (
     SuperPoint,
     SuperPointConfig,
@@ -10,6 +12,7 @@ from spnerf_tpu.models import (
 )
 
 
+@pytest.mark.slow
 def test_magicpoint_shapes():
     cfg = SuperPointConfig(model_name="magicpoint", nms=0)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (2, 48, 64, 1))
@@ -18,6 +21,7 @@ def test_magicpoint_shapes():
     assert "desc_raw" not in out
 
 
+@pytest.mark.slow
 def test_superpoint_shapes_and_inference():
     cfg = SuperPointConfig(model_name="superpoint", nms=4, det_thresh=0.001, top_k=50)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, 48, 64, 1))
@@ -34,6 +38,7 @@ def test_superpoint_shapes_and_inference():
     np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_param_count_close_to_reference():
     # reference SuperPoint is ~1.3M weights (SURVEY §5)
     cfg = SuperPointConfig(model_name="superpoint")
@@ -42,6 +47,7 @@ def test_param_count_close_to_reference():
     assert 1.2e6 < n < 1.6e6
 
 
+@pytest.mark.slow
 def test_batchnorm_updates_in_train_mode():
     cfg = SuperPointConfig(model_name="magicpoint")
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (2, 16, 16, 1))
@@ -55,6 +61,7 @@ def test_batchnorm_updates_in_train_mode():
     assert changed
 
 
+@pytest.mark.slow
 def test_probabilities_sum_to_one_per_cell():
     cfg = SuperPointConfig(model_name="magicpoint", nms=0)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, 16, 16, 1))

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

@@ -21,6 +21,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 WORKER = Path(__file__).parent / "_multihost_worker.py"
 
 

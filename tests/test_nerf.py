@@ -72,6 +72,7 @@ def test_camera_rays_unit_and_center():
     assert center[2] > 0.99
 
 
+@pytest.mark.slow
 def test_render_rays_and_image_shapes():
     cfg = NeRFConfig(depth=2, width=16, skip_layer=1, pos_freqs=2, dir_freqs=1,
                      n_coarse=4, n_fine=4, near=2.0, far=6.0)
@@ -92,6 +93,7 @@ def test_render_rays_and_image_shapes():
     assert img["depth"].shape == (8, 8)
 
 
+@pytest.mark.slow
 def test_nerf_overfits_single_ray_batch():
     """Tiny NeRF must fit a constant-color target quickly."""
     import optax

@@ -12,6 +12,10 @@ import pytest
 
 from spnerf_tpu.models.nerf import NeRFConfig
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tmp_roots(tmp_path_factory):

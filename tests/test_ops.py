@@ -147,6 +147,7 @@ def test_box_nms_greedy_matches_oracle(rng):
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_box_nms_fast_close_to_greedy(rng):
     prob = np.zeros((60, 60), np.float32)
     n = 80
@@ -162,6 +163,7 @@ def test_box_nms_fast_close_to_greedy(rng):
     assert fast.sum() <= greedy.sum() + 3
 
 
+@pytest.mark.slow
 def test_box_nms_top_k(rng):
     prob = np.zeros((32, 32), np.float32)
     prob[4, 4], prob[12, 12], prob[20, 20], prob[28, 28] = 0.9, 0.8, 0.7, 0.6

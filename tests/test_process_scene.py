@@ -85,6 +85,7 @@ def test_video_to_colmap_leg(tmp_path, mock_bin):
     assert (scene / "colmap" / "sparse" / "0" / "cameras.bin").exists()
 
 
+@pytest.mark.slow
 def test_transforms_to_nerf_dataset(tmp_path, monkeypatch):
     """transforms.json -> in-framework NeRF train -> rendered dataset in
     the exact layout data/nerf_dataset.py consumes."""

@@ -9,6 +9,7 @@ from spnerf_tpu.models.superpoint import (
     init_superpoint,
 )
 from spnerf_tpu.ops.quantization import QuantizedSuperPoint, quantize_weights
+import pytest
 
 
 def test_quantize_weights_roundtrip(rng):
@@ -18,6 +19,7 @@ def test_quantize_weights_roundtrip(rng):
     assert np.max(np.abs(deq - k)) <= np.max(np.abs(k)) / 127.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_quantized_model_close_to_float(rng):
     cfg = SuperPointConfig(model_name="superpoint",
                            vgg_cn=(8, 8, 16, 16, 32, 32, 32, 32),

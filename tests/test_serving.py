@@ -30,6 +30,7 @@ def setup():
     return cfg, variables, x, ref
 
 
+@pytest.mark.slow
 def test_bf16_serving_matches_float(setup):
     cfg, variables, x, ref = setup
     sp = ServingSuperPoint.build(cfg, variables, mode="bf16")
@@ -44,6 +45,7 @@ def test_bf16_serving_matches_float(setup):
         assert np.abs(a - b).max() < 0.05 * scale, key
 
 
+@pytest.mark.slow
 def test_int8_serving_preserves_detection(setup):
     cfg, variables, x, ref = setup
     sp = ServingSuperPoint.build(cfg, variables, calib_images=x, mode="int8")
@@ -68,6 +70,7 @@ def test_int8_serving_preserves_detection(setup):
     assert cos.mean() > 0.98, cos.mean()
 
 
+@pytest.mark.slow
 def test_magicpoint_variant(setup):
     cfg = SuperPointConfig(model_name="magicpoint")
     model, variables = init_superpoint(jax.random.PRNGKey(2), cfg, (1, H, W, 1))
@@ -78,6 +81,7 @@ def test_magicpoint_variant(setup):
     assert out["logits"].shape == (1, H // 8, W // 8, 65)
 
 
+@pytest.mark.slow
 def test_mixed_serving_tightens_labels(setup):
     """mixed = int8 backbone + bf16 heads: must sit between int8 and
     bf16 in fidelity, and in particular track the float decode more
@@ -106,6 +110,7 @@ def test_mixed_serving_tightens_labels(setup):
     assert ov_mixed >= 0.9, ov_mixed
 
 
+@pytest.mark.slow
 def test_mixed_serving_nonfused_path(setup):
     """mixed mode through the per-layer (non-fused-tail) kernels."""
     cfg, variables, x, ref = setup

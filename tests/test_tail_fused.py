@@ -27,6 +27,10 @@ from spnerf_tpu.ops.fast_inference import (
 )
 from spnerf_tpu.ops.serving import ServingSuperPoint
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def test_double_conv_matches_chain_int8(rng):
     B, H, W, C = 2, 12, 16, 128

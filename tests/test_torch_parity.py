@@ -26,6 +26,10 @@ from spnerf_tpu.tools.import_torch_weights import (
     torch_state_dict_to_flax,
 )
 
+# >=10s on the 1-core CPU host (r4 timing run); excluded from the
+# quick pre-commit tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 CN = (8, 8, 12, 12, 16, 16, 16, 16)  # tiny vgg for test speed
 DET = (16, 24)
 DESC = (16, 24)

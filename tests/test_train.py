@@ -54,6 +54,7 @@ def test_magicpoint_train_step_reduces_loss(magicpoint_setup, rng):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_magicpoint_with_device_augmentation(magicpoint_setup, rng):
     model, variables, _ = magicpoint_setup
     state, tx = create_train_state(variables, 1e-3)
@@ -64,6 +65,7 @@ def test_magicpoint_with_device_augmentation(magicpoint_setup, rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_superpoint_pair_train_step(rng):
     cfg = SuperPointConfig(model_name="superpoint", vgg_cn=(8, 8, 16, 16, 32, 32, 32, 32),
                            detector_dim=(32, 64), descriptor_dim=(32, 64))
@@ -85,6 +87,7 @@ def test_superpoint_pair_train_step(rng):
     assert 0 <= float(m["recall"]) <= 1
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_partial_restore(tmp_path, monkeypatch, rng):
     import spnerf_tpu.train.loop as loop_mod
 

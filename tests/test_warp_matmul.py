@@ -4,8 +4,10 @@ import numpy as np
 
 from spnerf_tpu.geometry.homography import HomographyConfig, sample_homography
 from spnerf_tpu.ops.image_warp import warp_image, warp_image_matmul
+import pytest
 
 
+@pytest.mark.slow
 def test_matmul_warp_matches_gather_warp(rng):
     B, H, W = 3, 48, 64
     img = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32))
@@ -57,6 +59,7 @@ def test_warp_matmul_int8_close_to_f32():
     assert float(jnp.mean(jnp.abs(a - b))) < 8e-3
 
 
+@pytest.mark.slow
 def test_warp_fused_pallas_matches_matmul():
     from spnerf_tpu.kernels.warp_pallas import warp_image_fused
 
