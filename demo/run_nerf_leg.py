@@ -56,10 +56,12 @@ def write_pose_pairs(scenes, pairs_path: Path, n_test: int,
         K = np.load(Path(DATA_PATH, "NeRF_gt", scene, "intrinsics.npy"))
         k_flat = " ".join(f"{v:.6f}" for v in K.ravel())
         poses = np.load(Path(DATA_PATH, "NeRF", scene, "poses_test.npy"))
-        for i in range(n_test):
+        n = min(n_test, len(poses))
+        for i in range(n - 1):
             gap = int(rng.integers(min_gap, max_gap + 1))
-            j = i + gap
-            if j >= n_test:
+            # clamp instead of skip so small test splits still pair up
+            j = min(i + gap, n - 1)
+            if j == i:
                 continue
             T0, T1 = poses[i], poses[j]
             T_0to1 = np.linalg.inv(T1) @ T0
