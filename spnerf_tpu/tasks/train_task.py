@@ -131,6 +131,13 @@ def train(
     else:
         stream = iter_forever(loaders["train"])
         get_batch = lambda: next(stream)
+    # overlap H2D with device compute: the tunneled chip charges a
+    # ~55 ms floor PER transfer (docs/PERF.md) and a batch is 3+ arrays,
+    # so issuing transfers from the training thread serializes ~150+ ms
+    # behind every step. A depth-2 device-side prefetch hides it.
+    device_stream = device_prefetch(
+        get_batch, mesh if multi_device else None)
+    get_device_batch = lambda: next(device_stream)
 
     log_every = int(config.get("log_every", 50))
     profile_cfg = config.get("profile", {}) or {}
@@ -148,7 +155,7 @@ def train(
             profile_cfg.get("start", 10) + profile_cfg.get("num_steps", 20)
         ):
             jax.profiler.stop_trace()
-        batch = _to_device(get_batch(), mesh if multi_device else None)
+        batch = get_device_batch()
         key, k_step = jax.random.split(key)
         state, metrics = train_step(state, batch, k_step, step_cfg, tx)
         it += 1
@@ -194,6 +201,31 @@ def train(
 def iter_forever(loader):
     while True:
         yield from loader
+
+
+def device_prefetch(get_batch, mesh, depth: int = 2):
+    """Generator of ON-DEVICE batches, produced by a worker thread so
+    host batch assembly + the tunnel's per-transfer latency overlap the
+    jitted step running on device. FIFO single worker: batch order (and
+    the datasets' thread-local RNG streams) stay deterministic."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            while True:
+                q.put(_to_device(get_batch(), mesh))
+        except BaseException as e:  # propagate into the training thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _to_device(batch: dict, mesh):
