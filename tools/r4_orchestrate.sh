@@ -95,14 +95,17 @@ HA_CMD='python -m spnerf_tpu.cli --config-path demo/configs/coco_export_demo.yam
 stage ha_bf16  3 7200 bash -c "$HA_CMD --set data.experiment_name=ha_r4_bf16"
 stage ha_mixed 3 7200 bash -c "$HA_CMD --set data.experiment_name=ha_r4_mixed --set export.serving=mixed --set data.batch_size=32"
 stage ha_int8  3 7200 bash -c "$HA_CMD --set data.experiment_name=ha_r4_int8 --set export.serving=int8 --set data.batch_size=32"
+stage ha_bf16serv 3 7200 bash -c "$HA_CMD --set data.experiment_name=ha_r4_bf16serv --set export.serving=bf16 --set data.batch_size=16"
 stage ha_report 2 600 bash -c '
   set -o pipefail
   R=$SPNERF_ROOT/outputs/outputs
   { python tools/ha_rate.py  "$R/ha_r4_bf16/training"  --label bf16_b16
     python tools/ha_rate.py  "$R/ha_r4_mixed/training" --label mixed_b32
     python tools/ha_rate.py  "$R/ha_r4_int8/training"  --label int8_b32
+    python tools/ha_rate.py  "$R/ha_r4_bf16serv/training" --label bf16serv_b16
     python tools/label_iou.py "$R/ha_r4_bf16/training" "$R/ha_r4_mixed/training" --label bf16_vs_mixed
     python tools/label_iou.py "$R/ha_r4_bf16/training" "$R/ha_r4_int8/training"  --label bf16_vs_int8
+    python tools/label_iou.py "$R/ha_r4_bf16/training" "$R/ha_r4_bf16serv/training" --label bf16_vs_bf16serv
   } | tee docs/evidence/ha_r4_report.jsonl'
 
 # 4. finish the homography demo leg + quality evals
