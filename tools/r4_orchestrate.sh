@@ -80,6 +80,7 @@ stage() {
 #    dies later in the round
 stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
 stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
+stage stage_breakdown 3 3600 bash -c 'set -o pipefail; python benchmarks/stage_breakdown.py | tee docs/evidence/stage_breakdown_r4.txt'
 
 # 2. the NeRF-supervision chain (VERDICT #1, third consecutive round)
 stage nerf      4 10800 python demo/run_nerf_leg.py
