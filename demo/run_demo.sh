@@ -81,25 +81,34 @@ run_leg() {
     pose)
         # three-row table (VERDICT r2/r3 #1): NeRF-supervised vs
         # homography at matched iters vs homography latest; JSON lines
-        # land in docs/evidence/ so numbers are committed, not quoted
+        # land in docs/evidence/ so numbers are committed, not quoted.
+        # Rows are independent: whichever checkpoints exist are scored,
+        # so the homography rows land even before the NeRF leg trains.
+        python demo/render_gt_test_views.py   # idempotent, host-only
         local out=docs/evidence/pose_auc_results.jsonl
         local it_nerf it_sp
         it_nerf=$(latest_iter demo_sp_nerf)
         it_sp=$(latest_iter demo_sp)
-        echo "== pose AUC: NeRF-supervised SuperPoint (iter $it_nerf) =="
-        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-            --set pretrained="demo_sp_nerf/demo_sp_nerf_${it_nerf}.ckpt" \
-            --json-out "$out"
-        if [ -f "$SPNERF_ROOT/ckpts/demo_sp/demo_sp_${it_nerf}.ckpt" ]; then
-            echo "== pose AUC: homography SuperPoint (matched iters $it_nerf) =="
+        if [ -n "$it_nerf" ]; then
+            echo "== pose AUC: NeRF-supervised SuperPoint (iter $it_nerf) =="
             python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-                --set pretrained="demo_sp/demo_sp_${it_nerf}.ckpt" \
+                --set pretrained="demo_sp_nerf/demo_sp_nerf_${it_nerf}.ckpt" \
                 --json-out "$out"
+            if [ -f "$SPNERF_ROOT/ckpts/demo_sp/demo_sp_${it_nerf}.ckpt" ]; then
+                echo "== pose AUC: homography SuperPoint (matched iters $it_nerf) =="
+                python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
+                    --set pretrained="demo_sp/demo_sp_${it_nerf}.ckpt" \
+                    --json-out "$out"
+            fi
+        else
+            echo "== pose AUC: no demo_sp_nerf checkpoint yet, skipping row =="
         fi
-        echo "== pose AUC: homography SuperPoint (latest $it_sp) =="
-        python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-            --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
-            --json-out "$out" ;;
+        if [ -n "$it_sp" ]; then
+            echo "== pose AUC: homography SuperPoint (latest $it_sp) =="
+            python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
+                --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
+                --json-out "$out"
+        fi ;;
     esac
 }
 
