@@ -108,7 +108,8 @@ run_leg() {
             python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
                 --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
                 --json-out "$out"
-        fi ;;
+        fi
+        python tools/fill_pose_table.py ;;
     esac
 }
 

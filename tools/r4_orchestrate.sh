@@ -76,17 +76,30 @@ stage() {
     return 1
 }
 
+# Sync the evidence doc's tables from whatever capture files exist and
+# commit them — host-only and instant; run after every capture group so
+# evidence is committed even if the tunnel dies mid-plan.
+sync_evidence() {
+    python tools/fill_perf_table.py || true
+    git add docs/evidence runs/logs/r4_orch.log 2>/dev/null
+    git diff --cached --quiet || git commit -q -m "r4 orchestrator: sync captured evidence
+
+No-Verification-Needed: evidence capture files only" || true
+}
+
 # 1. quick perf captures first: committed evidence even if the tunnel
 #    dies later in the round
 stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
 stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
 stage stage_breakdown 3 3600 bash -c 'set -o pipefail; python benchmarks/stage_breakdown.py | tee docs/evidence/stage_breakdown_r4.txt'
+sync_evidence
 
 # 2. the NeRF-supervision chain (VERDICT #1, third consecutive round)
 stage nerf      4 10800 python demo/run_nerf_leg.py
 stage nerf_export 4 7200 bash demo/run_demo.sh nerf_export
 stage nerf_sp   8 7200 bash demo/run_demo.sh nerf_sp
 stage pose      3 7200 bash demo/run_demo.sh pose
+sync_evidence
 
 # 3. HA throughput + label-agreement probes: 500 stand-in images each
 #    (truncate is a fraction of the 5k corpus). The mixed stack (int8
@@ -109,15 +122,19 @@ stage ha_report 2 600 bash -c '
     python tools/label_iou.py "$R/ha_r4_bf16/training" "$R/ha_r4_bf16serv/training" --label bf16_vs_bf16serv
   } | tee docs/evidence/ha_r4_report.jsonl'
 
+sync_evidence
+
 # 4. finish the homography demo leg + quality evals
 stage sp        8 7200 bash demo/run_demo.sh sp
 stage pose_final 3 7200 bash demo/run_demo.sh pose
 stage eval      3 7200 bash demo/run_demo.sh eval
+sync_evidence
 
 # 5. NeRF renderer measurement (VERDICT #3): train + save the sphere
 #    field first so bench_nerf measures the occupancy-skipping path
 #    (and the >=39 dB quality gate is re-proven on chip)
 stage sphere_field 3 3600 bash -c 'set -o pipefail; python benchmarks/nerf_quality_sphere.py --save | tee docs/evidence/nerf_quality_r4.txt'
 stage bench_nerf 3 3600 bash -c 'set -o pipefail; python bench_nerf.py | tee docs/evidence/bench_nerf_r4.json'
+sync_evidence
 
 echo "##### orchestrator finished $(date -u)"
