@@ -109,6 +109,9 @@ run_leg() {
                 --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
                 --json-out "$out"
         fi
+        # novel-view quality of the NeRF renders on the eval arc (no-op
+        # until the nerf leg has rendered the test split)
+        python tools/nerf_test_psnr.py | tee -a docs/evidence/nerf_test_psnr_r4.jsonl
         python tools/fill_pose_table.py ;;
     esac
 }
