@@ -69,7 +69,7 @@ def wait_for_backend(max_wait_s: float, probe_timeout_s: float = 120.0,
 
 
 if not wait_for_backend(float(os.environ.get("SPNERF_BENCH_MAX_WAIT_S",
-                                             "900"))):
+                                             "1800"))):
     # one parseable line instead of a stack trace; nonzero rc marks the
     # capture as failed without erasing why
     print(json.dumps({"metric": "superpoint_inference_480x640",
