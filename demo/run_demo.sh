@@ -60,10 +60,13 @@ run_leg() {
         it=$(latest_iter demo_sp)
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
             --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
-            --mode repeatability --k-points 300
+            --mode repeatability --k-points 300 \
+            --json-out docs/evidence/quality_r4.jsonl
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
             --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
-            --mode descriptors --k-points 1000 ;;
+            --mode descriptors --k-points 1000 \
+            --json-out docs/evidence/quality_r4.jsonl
+        python tools/fill_quality_table.py ;;
     nerf_data)
         python demo/make_nerf_scenes.py ;;
     nerf)

@@ -129,13 +129,28 @@ def main(argv=None):
                    metavar="KEY.PATH=VALUE",
                    help="override a config key by dotted path (same "
                         "semantics as the main CLI)")
+    p.add_argument("--json-out", default=None,
+                   help="append the result as one JSON line (tagged with "
+                        "mode and checkpoint) to this file")
     args = p.parse_args(argv)
     config = apply_overrides(load_config(args.config_path), args.overrides)
     if args.mode == "repeatability":
-        return run_repeatability(config, args.k_points or 300,
-                                 args.distance_thresh)
-    return run_descriptors(config, args.k_points or 1000,
-                           args.correctness_thresh)
+        result = run_repeatability(config, args.k_points or 300,
+                                   args.distance_thresh)
+    else:
+        result = run_descriptors(config, args.k_points or 1000,
+                                 args.correctness_thresh)
+    if args.json_out:
+        import json
+        from pathlib import Path
+
+        record = {"mode": args.mode,
+                  "pretrained": config.get("pretrained"), **result}
+        out = Path(args.json_out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    return result
 
 
 if __name__ == "__main__":
