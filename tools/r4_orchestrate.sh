@@ -81,7 +81,10 @@ stage() {
 # evidence is committed even if the tunnel dies mid-plan.
 sync_evidence() {
     python tools/fill_perf_table.py || true
-    git add docs/evidence runs/logs/r4_orch.log 2>/dev/null
+    # snapshot the run log INTO the repo (runs/ is gitignored and wiped
+    # between rounds; committed evidence must live under docs/)
+    cp -f "$LOG" docs/evidence/r4_orch_log.txt 2>/dev/null || true
+    git add docs/evidence 2>/dev/null
     git diff --cached --quiet || git commit -q -m "r4 orchestrator: sync captured evidence
 
 No-Verification-Needed: evidence capture files only" || true
