@@ -90,24 +90,52 @@ sync_evidence() {
 No-Verification-Needed: evidence capture files only" || true
 }
 
-# 1. the NeRF-supervision chain FIRST (VERDICT #1 three rounds running,
-#    and the one deliverable nothing else redundantly captures — the
-#    driver runs bench.py itself at round end). Every stage is
-#    resumable and checkpoints every 2k iters, so even a short tunnel
-#    window yields a scoreable demo_sp_nerf pose row.
+# 0. the VM hosting this round was rebooted and runs/ (gitignored) was
+#    wiped — every checkpoint and the stand-in corpora are gone. The
+#    plan below bootstraps the full chain from scratch: quick perf
+#    captures first (outage insurance), then data gen, then MagicPoint
+#    -> HA export -> the NeRF-supervision chain (VERDICT #1 three
+#    rounds running) -> the homography SP leg -> evals -> HA probes ->
+#    NeRF renderer. Every stage is resumable (train legs checkpoint
+#    every 2k iters; data gens skip existing files), so retries are
+#    cheap and a partial round still yields scoreable rows.
+stage bench 3 2700 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
+stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
+sync_evidence
+
+# 1. host-side data fabrication (CPU-only, seeds frozen -> bit-identical
+#    corpora to rounds 2-3)
+stage data      2 10800 python demo/make_standin_data.py
+stage nerf_data 2 7200  python demo/make_nerf_scenes.py
+sync_evidence
+
+# 2. bootstrap detector: MagicPoint 25k (includes lazy synthetic-shapes
+#    generation on the first attempt) then HA pseudo-labels for the SP leg
+stage mp     8 10800 bash demo/run_demo.sh mp
+stage export 4 7200  bash demo/run_demo.sh export
+sync_evidence
+
+# 3. the NeRF-supervision chain (VERDICT #1)
 stage nerf      4 10800 python demo/run_nerf_leg.py
 stage nerf_export 4 7200 bash demo/run_demo.sh nerf_export
 stage nerf_sp   8 7200 bash demo/run_demo.sh nerf_sp
 stage pose      3 7200 bash demo/run_demo.sh pose
 sync_evidence
 
-# 2. quick perf captures
-stage bench 3 1800 bash -c 'set -o pipefail; python bench.py | tee docs/evidence/bench_r4_capture.json'
-stage bench_train 3 3600 bash -c 'set -o pipefail; python bench_train.py | tee docs/evidence/bench_train_r4.jsonl'
+# 4. finish the homography demo leg + quality evals, then the NeRF
+#    renderer measurement (VERDICT #3): train + save the sphere field
+#    so bench_nerf measures the occupancy-skipping path (and the
+#    >=39 dB quality gate is re-proven on chip)
+stage sp        8 10800 bash demo/run_demo.sh sp
+stage pose_final 3 7200 bash demo/run_demo.sh pose
+stage eval      3 7200 bash demo/run_demo.sh eval
+sync_evidence
+stage sphere_field 3 3600 bash -c 'set -o pipefail; python benchmarks/nerf_quality_sphere.py --save | tee docs/evidence/nerf_quality_r4.txt'
+stage bench_nerf 3 3600 bash -c 'set -o pipefail; python bench_nerf.py | tee docs/evidence/bench_nerf_r4.json'
 stage stage_breakdown 3 3600 bash -c 'set -o pipefail; python benchmarks/stage_breakdown.py | tee docs/evidence/stage_breakdown_r4.txt'
 sync_evidence
 
-# 3. HA throughput + label-agreement probes: 500 stand-in images each
+# 5. HA throughput + label-agreement probes: 500 stand-in images each
 #    (truncate is a fraction of the 5k corpus). The mixed stack (int8
 #    backbone + bf16 heads) is the round-4 candidate to close the int8
 #    exact-IoU gap at det_thresh 0.001 (VERDICT #7).
@@ -128,19 +156,6 @@ stage ha_report 2 600 bash -c '
     python tools/label_iou.py "$R/ha_r4_bf16/training" "$R/ha_r4_bf16serv/training" --label bf16_vs_bf16serv
   } | tee docs/evidence/ha_r4_report.jsonl'
 
-sync_evidence
-
-# 4. finish the homography demo leg + quality evals
-stage sp        8 7200 bash demo/run_demo.sh sp
-stage pose_final 3 7200 bash demo/run_demo.sh pose
-stage eval      3 7200 bash demo/run_demo.sh eval
-sync_evidence
-
-# 5. NeRF renderer measurement (VERDICT #3): train + save the sphere
-#    field first so bench_nerf measures the occupancy-skipping path
-#    (and the >=39 dB quality gate is re-proven on chip)
-stage sphere_field 3 3600 bash -c 'set -o pipefail; python benchmarks/nerf_quality_sphere.py --save | tee docs/evidence/nerf_quality_r4.txt'
-stage bench_nerf 3 3600 bash -c 'set -o pipefail; python bench_nerf.py | tee docs/evidence/bench_nerf_r4.json'
 sync_evidence
 
 echo "##### orchestrator finished $(date -u)"
