@@ -11,6 +11,9 @@ set -u
 cd "$(dirname "$0")/.."
 export SPNERF_ROOT=/root/repo/runs
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax
+# direct `python demo/<script>.py` invocations need the repo on the path
+# (run_demo.sh sets this itself; the bare stages don't)
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 LOG=runs/logs/r4_orch.log
 mkdir -p runs/logs docs/evidence
 exec >> "$LOG" 2>&1
@@ -62,14 +65,15 @@ stage() {
         echo "=== $(date -u) stage $name attempt $a/$attempts: $*"
         probe
         touch "$BUSY"
-        if timeout "$tmo" "$@"; then
-            rm -f "$BUSY"
+        local rc=0
+        timeout "$tmo" "$@" || rc=$?
+        rm -f "$BUSY"
+        if [ "$rc" -eq 0 ]; then
             touch "$done_flag"
             echo "=== $(date -u) stage $name OK"
             return 0
         fi
-        rm -f "$BUSY"
-        echo "=== $(date -u) stage $name attempt $a failed (rc=$?)"
+        echo "=== $(date -u) stage $name attempt $a failed (rc=$rc)"
         sleep 60
     done
     echo "=== stage $name GIVING UP after $attempts attempts"
