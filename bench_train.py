@@ -37,6 +37,10 @@ from spnerf_tpu.train.loop import (
     train_step,
     _prepare_pair,
 )
+from spnerf_tpu.ops.photometric_device import (
+    PhotometricDeviceConfig,
+    photometric_augment,
+)
 from spnerf_tpu.train.pipeline import prepare_detector_batch
 
 H = int(os.environ.get("SPNERF_BENCH_TRAIN_H", "240"))
@@ -78,8 +82,30 @@ def bench_protocol(name: str, batch_size: int, pair: bool):
                            perspective_amplitude_x=0.2,
                            perspective_amplitude_y=0.2,
                            allow_artifacts=True)
+    # on-device photometric is part of the production step now
+    # (configs/*_train.yaml photometric.on_device); params mirror
+    # magicpoint_syn.yaml / superpoint_coco_train.yaml
+    photometric = (
+        PhotometricDeviceConfig(
+            contrast_strength_range=(0.5, 1.5),
+            gaussian_stddev_range=(0.0, 10.0),
+            speckle_prob_range=(0.0, 0.0035),
+            motion_max_kernel_size=3,
+            shade_transparency_range=(-0.5, 0.5),
+            shade_kernel_size_range=(100, 150),
+        )
+        if pair
+        else PhotometricDeviceConfig(
+            brightness_max_abs_change=75.0,
+            contrast_strength_range=(0.3, 1.8),
+            gaussian_stddev_range=(0.0, 15.0),
+            speckle_prob_range=(0.0, 0.0035),
+            motion_max_kernel_size=7,
+            shade_kernel_size_range=(50, 100),
+        )
+    )
     step_cfg = StepConfig(model=model, aug=aug, erosion=3, pair=pair,
-                          pallas_desc=pair)
+                          pallas_desc=pair, photometric=photometric)
     state, tx = create_train_state(variables, 1e-3)
     batch = make_batch(jax.random.PRNGKey(1), batch_size, pair)
     key = jax.random.PRNGKey(2)
@@ -107,6 +133,9 @@ def bench_protocol(name: str, batch_size: int, pair: bool):
     fwd = jax.jit(lambda p, b, d, k: loss_of(p, b, d, k))
     fwd_bwd = jax.jit(jax.grad(loss_of))
 
+    photo = jax.jit(
+        lambda k, x: photometric_augment(k, x, step_cfg.photometric))
+    t_photo = time_fn(photo, key, batch["image"])
     t_aug = time_fn(prep, key, batch)
     t_fwd = time_fn(fwd, state.params, state.batch_stats, data, key)
     t_fb = time_fn(fwd_bwd, state.params, state.batch_stats, data, key)
@@ -126,6 +155,7 @@ def bench_protocol(name: str, batch_size: int, pair: bool):
         "value": round(1.0 / t_step, 3),
         "unit": "steps/sec",
         "breakdown_ms": {
+            "photo": round(t_photo * 1e3, 2),
             "aug": round(t_aug * 1e3, 2),
             "fwd": round(t_fwd * 1e3, 2),
             "fwd_bwd": round(t_fb * 1e3, 2),

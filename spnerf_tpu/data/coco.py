@@ -39,7 +39,11 @@ class COCO:
         )
         self.samples = self._init_dataset()
         photo = self.config.get("augmentation", {}).get("photometric", {})
-        self.photometric = PhotometricAug(photo) if photo.get("enable") else None
+        self.photometric = (
+            PhotometricAug(photo)
+            if photo.get("enable") and not photo.get("on_device")
+            else None
+        )
         self.warped_pair = bool(self.config.get("warped_pair"))
         self._rng = ThreadLocalRNG(stable_seed("coco", self.split))
 
@@ -81,9 +85,13 @@ class COCO:
         raw = self.photometric(img, self._rng.get()) if aug else img
         out["image"] = (raw / 255.0)[..., None].astype(np.float32)
 
-        if self.warped_pair:
-            # independent photometric draw for the to-be-warped view
-            warp_src = self.photometric(img, self._rng.get()) if aug else img
+        if self.warped_pair and aug:
+            # independent photometric draw for the to-be-warped view.
+            # Without host augmentation this would be a byte-identical
+            # copy of "image" (prepare_superpoint_batch falls back to
+            # it), so it is only shipped when it actually differs —
+            # on-device photometric mode draws its own pair on chip.
+            warp_src = self.photometric(img, self._rng.get())
             out["image_warp_src"] = (warp_src / 255.0)[..., None].astype(np.float32)
 
         return out

@@ -52,7 +52,11 @@ class NeRFDataset:
         )
         self.samples = self._init_dataset()
         photo = self.config.get("augmentation", {}).get("photometric", {})
-        self.photometric = PhotometricAug(photo) if photo.get("enable") else None
+        self.photometric = (
+            PhotometricAug(photo)
+            if photo.get("enable") and not photo.get("on_device")
+            else None
+        )
         self.warped_pair = bool(self.config.get("warped_pair"))
         self._rng = ThreadLocalRNG(stable_seed("nerf", self.split))
 

@@ -66,7 +66,13 @@ class SyntheticShapes:
         self.primitives = parse_primitives(self.config["primitives"], PRIMITIVES)
         self.samples = self._init_dataset()
         photo_cfg = self.config["augmentation"]["photometric"]
-        self.photometric = PhotometricAug(photo_cfg) if photo_cfg.get("enable") else None
+        # on_device routes photometric into the jitted train step
+        # (ops/photometric_device.py); the host then ships raw images
+        self.photometric = (
+            PhotometricAug(photo_cfg)
+            if photo_cfg.get("enable") and not photo_cfg.get("on_device")
+            else None
+        )
         self._rng = ThreadLocalRNG(
             self.config["generation"]["random_seed"] + stable_seed(self.split) % 10000
         )

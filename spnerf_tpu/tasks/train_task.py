@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spnerf_tpu.geometry.homography import HomographyConfig
+from spnerf_tpu.ops.photometric_device import PhotometricDeviceConfig
 from spnerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from spnerf_tpu.settings import CKPT_PATH
 from spnerf_tpu.train.loop import (
@@ -49,6 +50,13 @@ def build_step_config(config: dict, model, include_mask: bool,
         aug = HomographyConfig.from_dict(aug_cfg["homographic"].get("params", {}))
         erosion = aug_cfg["homographic"].get("valid_border_margin", 0)
 
+    pcfg = aug_cfg.get("photometric", {}) or {}
+    photometric = (
+        PhotometricDeviceConfig.from_dict(pcfg)
+        if pcfg.get("enable") and pcfg.get("on_device")
+        else None
+    )
+
     desc_cfg = DescriptorLossConfig.from_dict(model_cfg.get("descriptor_head", {}))
     return StepConfig(
         model=model,
@@ -63,6 +71,7 @@ def build_step_config(config: dict, model, include_mask: bool,
         det_thresh=float(
             model_cfg.get("detector_head", {}).get("det_thresh", 0.015)
         ),
+        photometric=photometric,
     )
 
 

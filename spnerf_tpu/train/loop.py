@@ -27,6 +27,10 @@ from flax.core import unfreeze
 
 from spnerf_tpu.geometry.homography import HomographyConfig
 from spnerf_tpu.models.superpoint import SuperPoint, SuperPointConfig
+from spnerf_tpu.ops.photometric_device import (
+    PhotometricDeviceConfig,
+    photometric_augment,
+)
 from spnerf_tpu.settings import CKPT_PATH
 from spnerf_tpu.train.losses import (
     DescriptorLossConfig,
@@ -217,6 +221,10 @@ class StepConfig:
     aug: HomographyConfig | None = None
     erosion: int = 0
     pair: bool = False  # SuperPoint warped-pair mode
+    # on-device photometric augmentation (None = host-side or disabled);
+    # applied in train_step only — validation stays unaugmented, matching
+    # the datasets' split == "training" gate
+    photometric: PhotometricDeviceConfig | None = None
     # blockwise descriptor loss: Pallas streaming kernel
     # (normalise=False) or checkpointed-scan path (normalise=True);
     # the dense MXU-matmul path is used when False
@@ -228,13 +236,37 @@ class StepConfig:
     def __hash__(self):  # SuperPoint module is hashable (frozen dataclass cfg)
         return hash((id(self.model), self.grid_size, self.include_mask,
                      self.desc_cfg, self.nerf_desc, self.aug, self.erosion,
-                     self.pair, self.pallas_desc, self.det_thresh))
+                     self.pair, self.pallas_desc, self.det_thresh,
+                     self.photometric))
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnames=("state",))
 def train_step(state: TrainState, batch: dict, key: jax.Array,
                cfg: StepConfig, tx) -> tuple[TrainState, dict]:
-    k_aug, k_loss = jax.random.split(jax.random.fold_in(key, state.iteration))
+    k_ph, k_aug, k_loss = jax.random.split(
+        jax.random.fold_in(key, state.iteration), 3
+    )
+
+    if cfg.photometric is not None:
+        batch = dict(batch)
+        if cfg.nerf_desc and "depth" in batch:
+            # two real views: independent draws on each
+            k1, k2 = jax.random.split(k_ph)
+            batch["image"] = photometric_augment(
+                k1, batch["image"], cfg.photometric)
+            batch["image_warp"] = photometric_augment(
+                k2, batch["image_warp"], cfg.photometric)
+        elif cfg.pair:
+            # raw view + to-be-warped view: independent draws from the
+            # same base image (host counterpart: data/coco.py:80-87)
+            k1, k2 = jax.random.split(k_ph)
+            base = batch["image"]
+            batch["image"] = photometric_augment(k1, base, cfg.photometric)
+            batch["image_warp_src"] = photometric_augment(
+                k2, base, cfg.photometric)
+        else:
+            batch["image"] = photometric_augment(
+                k_ph, batch["image"], cfg.photometric)
 
     if cfg.pair:
         data = _prepare_pair(batch, k_aug, cfg)
