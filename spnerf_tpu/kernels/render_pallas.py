@@ -58,6 +58,10 @@ def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
     Compositing state (rgb / depth / transmittance) lives in scratch so
     it survives the skip predicates."""
     jitter = jit_ref[0, 0]
+    bi = pl.program_id(0)  # flags ride SMEM whole: Mosaic requires the
+    # sublane dim of a blocked operand to be 8-aligned, which a (1, C)
+    # per-block slice of (n_blocks, C) can't satisfy — so the kernel
+    # indexes the full array by grid position instead
     dt = (far - near) / n_samples
     oe = oe_ref[...]
     de = de_ref[...]
@@ -79,7 +83,7 @@ def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
 
     for ci in range(n_samples // s_chunk):
 
-        @pl.when(flag_ref[0, ci] != 0)
+        @pl.when(flag_ref[bi, ci] != 0)
         def _(ci=ci):
             t0 = near + (ci * s_chunk + jitter) * dt
             u = jnp.sin(oe + t0 * de)
@@ -182,7 +186,7 @@ def render_fused(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_chunks), lambda i: (i, 0),
+            pl.BlockSpec((n_blocks, n_chunks), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block, ENC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
