@@ -66,14 +66,35 @@ def main(iters=1500):
     o, d, rgb, t_gt, hit = sphere_scene(jax.random.PRNGKey(1), 1 << 17)
     oe, de = encode_rays(o, d, A, c)
 
+    # sparsity prior: the sin-encoded field is unconstrained wherever no
+    # training ray passes, and leftover fog there defeats occupancy
+    # skipping (round 4 measured 37% of the volume above the alpha
+    # threshold on a fog-free scene). Penalizing positive raw density at
+    # uniform random points drives unobserved space empty — the standard
+    # Plenoxels/DVGO-style sparsity loss.
+    sparsity = 0.0 if "--no-sparsity" in sys.argv else 3e-3
+
     @jax.jit
     def step(p, opt_state, key):
-        idx = jax.random.randint(key, (8192,), 0, oe.shape[0])
+        k_idx, k_pts, k_dirs = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (8192,), 0, oe.shape[0])
 
         def loss_fn(pp):
             out = render_xla(pp, oe[idx], de[idx], cfg, jitter=0.5,
                              df=direction_features(pp, d[idx], A, c))
-            return jnp.mean((out["rgb"] - rgb[idx]) ** 2)
+            loss = jnp.mean((out["rgb"] - rgb[idx]) ** 2)
+            if sparsity > 0.0:
+                pts = jax.random.uniform(
+                    k_pts, (2048, 3), minval=-cfg.far, maxval=cfg.far)
+                dirs = jax.random.normal(k_dirs, (2048, 3))
+                dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+                enc = jnp.sin(pts @ A + c)
+                h = jax.nn.relu(enc @ pp["w1"])
+                h = jax.nn.relu(h @ pp["w2"]
+                                + direction_features(pp, dirs, A, c))
+                sigma = h @ pp["w3"][:, 0]
+                loss = loss + sparsity * jnp.mean(jax.nn.relu(sigma))
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, opt_state = tx.update(grads, opt_state, p)
@@ -105,6 +126,10 @@ def main(iters=1500):
     ot, dt, rgb_t, tt, hit_t = sphere_scene(jax.random.PRNGKey(9), 1 << 16)
     bp = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
     ivol = field_integral_volume(params, cfg)
+    res = ivol.shape[0] - 1
+    occ_frac = float(ivol[-1, -1, -1]) / res**3
+    print(f"occupancy grid: {occ_frac * 100:.1f}% of the volume live "
+          f"(sparsity weight {sparsity})")
     flags = chunk_flags(ot, dt, ivol, block=512, n_samples=cfg.n_samples,
                         s_chunk=8, near=cfg.near, far=cfg.far,
                         extent=float(cfg.far))

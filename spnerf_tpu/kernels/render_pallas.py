@@ -43,18 +43,20 @@ HID = 128  # MLP width
 def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
             w3_ref, out_ref, depth_ref, enc_scr, h_scr, head_scr, sig_scr,
             rgb_scr, dep_scr, trans_scr, *, n_samples, s_chunk, near, far,
-            block):
+            block, early_stop_eps):
     """Sample-CHUNKED: the samples are processed ``s_chunk`` at a time —
     encodings built for the chunk, the MLP runs as three (R*s_chunk, 128)
     matmuls, compositing walks the chunk. Chunking (a) bounds scratch to
     O(R*s_chunk) so 512-ray blocks fit VMEM (the old whole-sample-axis
     scratch OOM'd past block=256), and (b) gives occupancy skipping its
     granularity: a chunk whose flag is 0 (see ops/occupancy.py) is
-    skipped entirely under ``pl.when`` — conservative up to the flag
-    builder's alpha_thresh (1e-3): ops/occupancy.py bounds the
-    view-dependent sigma over ALL directions, so a skipped chunk's
-    contribution is provably below threshold and the compositing state
-    is left unchanged.
+    skipped entirely under ``pl.when`` — a skipped chunk leaves the
+    compositing state unchanged, which is lossless when its true alpha
+    is below the flag builder's alpha_thresh (1e-3). The default probe
+    (ops/occupancy.py method="sampled") estimates the view-dependent
+    sigma as a margin-scaled max over sampled directions — a
+    quality-gated approximation (>= 39 dB PSNR skip-vs-dense gate), not
+    a proof; method="bound" gives the provable-but-loose alternative.
     Compositing state (rgb / depth / transmittance) lives in scratch so
     it survives the skip predicates."""
     jitter = jit_ref[0, 0]
@@ -82,8 +84,16 @@ def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
     cd = jnp.cos(dt * de)
 
     for ci in range(n_samples // s_chunk):
+        live = flag_ref[bi, ci] != 0
+        if early_stop_eps > 0.0 and ci > 0:
+            # transmittance early-out: once EVERY ray in the block has
+            # T < eps, the remaining chunks contribute at most eps to
+            # any output — skip their encoding/MLP/compositing. This is
+            # occlusion culling: for solid scenes most rays terminate at
+            # the first surface and the trailing chunks are free.
+            live = live & (jnp.max(trans_scr[...]) > early_stop_eps)
 
-        @pl.when(flag_ref[bi, ci] != 0)
+        @pl.when(live)
         def _(ci=ci):
             t0 = near + (ci * s_chunk + jitter) * dt
             u = jnp.sin(oe + t0 * de)
@@ -135,7 +145,7 @@ def _kernel(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("n_samples", "near", "far", "block",
-                              "s_chunk", "interpret")
+                              "s_chunk", "interpret", "early_stop_eps")
 )
 def render_fused(
     oe: jnp.ndarray,
@@ -152,6 +162,7 @@ def render_fused(
     s_chunk: int = 8,
     flags: jnp.ndarray | None = None,
     interpret: bool = False,
+    early_stop_eps: float = 1e-3,
 ):
     """Render (N, ENC)-encoded rays. Returns (rgb (N, 3), depth (N,)).
 
@@ -161,6 +172,9 @@ def render_fused(
     flags: optional int32 (n_blocks, n_samples // s_chunk) occupancy
     skip flags from ``ops.occupancy.chunk_flags`` (must be built with
     the SAME block/s_chunk); None renders every chunk.
+    early_stop_eps: skip a chunk once every ray in the block has
+    transmittance below this (output error <= eps per channel); 0
+    disables the early-out.
     """
     N = oe.shape[0]
     if df is None:
@@ -178,7 +192,7 @@ def render_fused(
 
     kernel = functools.partial(
         _kernel, n_samples=n_samples, s_chunk=s_chunk, near=near, far=far,
-        block=block,
+        block=block, early_stop_eps=float(early_stop_eps),
     )
     jit_arr = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
     rgb_w, depth_w = pl.pallas_call(

@@ -113,7 +113,8 @@ def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5,
 def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
                       A=None, c=None, jitter: float = 0.5,
                       block: int = 512, s_chunk: int = 8,
-                      occupancy_ivol=None, interpret: bool = False):
+                      occupancy_ivol=None, interpret: bool = False,
+                      early_stop_eps: float = 1e-3):
     """Serving path: encode + fused Pallas render. Pass the field's
     integral occupancy volume (ops.occupancy.field_integral_volume) to
     skip empty sample chunks."""
@@ -135,6 +136,6 @@ def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
         oe, de, params["w1"], params["w2"], params["w3"], df,
         jitter=jitter, n_samples=config.n_samples,
         near=config.near, far=config.far, block=block, s_chunk=s_chunk,
-        flags=flags, interpret=interpret,
+        flags=flags, interpret=interpret, early_stop_eps=early_stop_eps,
     )
     return {"rgb": rgb, "depth": depth}

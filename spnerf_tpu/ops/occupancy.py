@@ -10,22 +10,31 @@ int32 flag; the kernel then skips encoding + MLP + compositing for
 dead chunks (``pl.when``), which is exact — an empty chunk contributes
 alpha = 0 and leaves the compositing state unchanged.
 
-Conservative construction:
-  - sigma is probed at 2x grid resolution with a DIRECTION-ROBUST upper
-    bound (sigma in the tiny field is view-dependent: df is added before
-    layer 2, models/fused_tiny_nerf.py). Since df = sin(d@A+c) @ wd and
-    |sin| <= 1, each feature satisfies |df_j| <= sum_i |wd[i,j]| =: m_j,
-    so h2_j = relu(z_j + df_j) lies in [relu(z_j - m_j), relu(z_j + m_j)]
-    and sigma = h2 @ w3[:,0] is maximised by taking the upper end where
-    w3[j,0] >= 0 and the lower end where w3[j,0] < 0. The probe grid is
-    then max-pooled and dilated by one voxel;
-  - a block-chunk AABB is the axis box of the chunk's segment
-    endpoints over all rays in the block (a segment lies in the box of
-    its endpoints), queried against the grid via a 3-D integral image;
-  - AABBs leaving the grid extent count as occupied.
+Probe construction (sigma in the tiny field is view-dependent: df is
+added before layer 2, models/fused_tiny_nerf.py):
 
-The quality gate (benchmarks/nerf_quality_sphere.py >= 39 dB) runs
-with skipping enabled.
+  - ``method="sampled"`` (default): sigma probed at 2x grid resolution
+    as the MAX over a Fibonacci-sphere set of view directions, scaled
+    by a safety ``margin`` (sigma domain), then max-pooled and dilated
+    by one voxel. This is an APPROXIMATION, not a proof: a direction
+    between the probes could exceed the max. It is held to the >= 39 dB
+    PSNR quality gate (benchmarks/nerf_quality_sphere.py), which runs
+    skip-vs-dense through the real kernel.
+  - ``method="bound"``: the provable direction-robust bound. Since
+    df = sin(d@A+c) @ wd and |sin| <= 1, each feature satisfies
+    |df_j| <= sum_i |wd[i,j]| =: m_j, so h2_j = relu(z_j + df_j) lies in
+    [relu(z_j - m_j), relu(z_j + m_j)] and sigma = h2 @ w3[:,0] is
+    maximised endpoint-wise. Provably conservative for ANY field — but
+    in practice so loose it marks ~100% of space occupied on trained
+    fields (measured round 4), disabling skipping entirely; kept as the
+    option for callers that need the guarantee.
+
+Flags are per (ray-block, sample-chunk): each RAY's chunk segment gets
+the axis box of its two endpoints (a segment lies in the box of its
+endpoints — tight for thin boxes), queried against the grid via a 3-D
+integral image; the block's flag is the OR over its rays. Boxes leaving
+the grid extent count as occupied (the sin-encoded field is periodic,
+so nothing can be asserted outside the probed extent).
 """
 
 from __future__ import annotations
@@ -39,23 +48,65 @@ import numpy as np
 from spnerf_tpu.models.fused_tiny_nerf import HID, TinyFieldConfig, make_encoding
 
 
-def field_sigma_grid(params, config: TinyFieldConfig, resolution: int = 96,
-                     extent: float | None = None) -> jnp.ndarray:
-    """Direction-robust upper bound on the raw density of the tiny fused
-    field on a (res, res, res) grid over [-extent, extent]^3 (cell
-    centers, 2x supersampled + max-pooled).
+def fibonacci_sphere(n: int) -> jnp.ndarray:
+    """(n, 3) well-spread unit directions (golden-angle spiral)."""
+    i = jnp.arange(n, dtype=jnp.float32) + 0.5
+    phi = jnp.arccos(1.0 - 2.0 * i / n)
+    theta = jnp.pi * (1.0 + np.sqrt(5.0)) * i
+    return jnp.stack([
+        jnp.sin(phi) * jnp.cos(theta),
+        jnp.sin(phi) * jnp.sin(theta),
+        jnp.cos(phi),
+    ], axis=-1)
 
-    sigma is view-dependent (df added before layer 2); the probe bounds
-    it over ALL directions via |df_j| <= sum_i |wd[i,j]| (see module
-    docstring), so skipping stays conservative for any trained field."""
+
+def field_sigma_grid(params, config: TinyFieldConfig, resolution: int = 96,
+                     extent: float | None = None, method: str = "sampled",
+                     n_dirs: int = 32, margin: float = 2.0) -> jnp.ndarray:
+    """Upper estimate of the raw density of the tiny fused field on a
+    (res, res, res) grid over [-extent, extent]^3 (cell centers, 2x
+    supersampled + max-pooled).
+
+    sigma is view-dependent (df added before layer 2). ``method``:
+
+    - "sampled": max over ``n_dirs`` Fibonacci-sphere directions, times
+      ``margin``. Quality-gated approximation (see module docstring).
+    - "bound": provable max over ALL directions via
+      |df_j| <= sum_i |wd[i,j]| — conservative but loose enough to mark
+      ~everything occupied on trained fields.
+    """
     ext = float(extent if extent is not None else config.far)
     A, c = make_encoding(config)
     r2 = resolution * 2
     xs = (jnp.arange(r2) + 0.5) / r2 * (2 * ext) - ext
-    dmax = jnp.abs(params["wd"]).sum(axis=0)  # (HID,): |df_j| bound
     w3_sigma = params["w3"][:, 0]
-    pos = jnp.maximum(w3_sigma, 0.0)
-    neg = jnp.minimum(w3_sigma, 0.0)
+
+    if method == "bound":
+        dmax = jnp.abs(params["wd"]).sum(axis=0)  # (HID,): |df_j| bound
+        pos = jnp.maximum(w3_sigma, 0.0)
+        neg = jnp.minimum(w3_sigma, 0.0)
+
+        def head(z):
+            hi = jax.nn.relu(z + dmax)  # upper end of h2 over directions
+            lo = jax.nn.relu(z - dmax)  # lower end
+            return hi @ pos + lo @ neg
+    elif method == "sampled":
+        from spnerf_tpu.models.fused_tiny_nerf import direction_features
+
+        dirs = fibonacci_sphere(n_dirs)
+        dfs = direction_features(params, dirs, A, c)  # (n_dirs, HID)
+
+        def head(z):
+            def one_dir(df):
+                return jax.nn.relu(z + df) @ w3_sigma
+
+            sig = jax.lax.map(one_dir, dfs).max(axis=0)  # (P,)
+            # inflate only the positive part: occupancy thresholds are
+            # positive, and scaling negative raw densities would SHRINK
+            # the probe exactly where caution is needed
+            return jnp.where(sig > 0, margin * sig, sig)
+    else:
+        raise ValueError(f"unknown occupancy probe method: {method!r}")
 
     def sigma_plane(x):
         yy, zz = jnp.meshgrid(xs, xs, indexing="ij")
@@ -63,10 +114,7 @@ def field_sigma_grid(params, config: TinyFieldConfig, resolution: int = 96,
         enc = jnp.sin(pts @ A + c)
         h = jax.nn.relu(enc @ params["w1"])
         z = h @ params["w2"]
-        hi = jax.nn.relu(z + dmax)  # upper end of h2 over all directions
-        lo = jax.nn.relu(z - dmax)  # lower end
-        sig_ub = hi @ pos + lo @ neg
-        return sig_ub.reshape(r2, r2)
+        return head(z).reshape(r2, r2)
 
     sig = jax.lax.map(sigma_plane, xs)  # (r2, r2, r2)
     # 2x2x2 max-pool back to resolution
@@ -119,7 +167,10 @@ def chunk_flags(origins: jnp.ndarray, directions: jnp.ndarray,
     """int32 (n_blocks, n_chunks) skip flags for ``render_fused``.
 
     Rays are grouped exactly as the kernel grid groups them (consecutive
-    rows of ``block`` rays, padded by repeating the last ray)."""
+    rows of ``block`` rays, padded by repeating the last ray). Each RAY
+    tests its own thin segment-endpoint box against the grid; the block
+    flag is the OR over its rays — one fat AABB over a whole camera-fan
+    block would sweep most of the scene and skip nothing."""
     N = origins.shape[0]
     pad = (-N) % block
     o = jnp.concatenate([origins, jnp.repeat(origins[-1:], pad, 0)])
@@ -131,17 +182,16 @@ def chunk_flags(origins: jnp.ndarray, directions: jnp.ndarray,
     # chunk boundary distances (nc+1,)
     ts = near + jnp.arange(nc + 1) * ((far - near) / nc)
     pts = o[:, None] + ts[None, :, None, None] * d[:, None]  # (nb,nc+1,B,3)
-    lo = pts.min(axis=2)
-    hi = pts.max(axis=2)
-    blo = jnp.minimum(lo[:, :-1], lo[:, 1:])  # (nb, nc, 3)
-    bhi = jnp.maximum(hi[:, :-1], hi[:, 1:])
+    blo = jnp.minimum(pts[:, :-1], pts[:, 1:])  # (nb, nc, B, 3) per ray
+    bhi = jnp.maximum(pts[:, :-1], pts[:, 1:])
     res = ivol.shape[0] - 1
     scale = res / (2.0 * extent)
     vlo = jnp.clip(jnp.floor((blo + extent) * scale), 0, res - 1).astype(jnp.int32)
     vhi = jnp.clip(jnp.floor((bhi + extent) * scale), 0, res - 1).astype(jnp.int32)
     outside = jnp.any((blo < -extent) | (bhi > extent), axis=-1)
-    count = _box_count(ivol, vlo, vhi)
-    return ((count > 0) | outside).astype(jnp.int32)
+    count = _box_count(ivol, vlo, vhi)  # (nb, nc, B)
+    live = (count > 0) | outside
+    return jnp.any(live, axis=-1).astype(jnp.int32)
 
 
 def build_render_flags(params, origins, directions,

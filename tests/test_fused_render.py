@@ -149,7 +149,8 @@ def test_sigma_probe_dominates_view_dependent_sigma():
     params = init_params(jax.random.PRNGKey(3), scale=0.3)
     A, c = make_encoding(cfg)
     res = 12
-    grid = np.asarray(field_sigma_grid(params, cfg, resolution=res))
+    grid = np.asarray(
+        field_sigma_grid(params, cfg, resolution=res, method="bound"))
     ext = float(cfg.far)
     rng = np.random.default_rng(0)
     pts = rng.uniform(-ext, ext, (512, 3)).astype(np.float32)
@@ -171,3 +172,112 @@ def test_sigma_probe_dominates_view_dependent_sigma():
     # majority to be dominated and no gross violation
     frac = float((sigma <= cell + 1e-3).mean())
     assert frac >= 0.95, frac
+
+
+def test_sampled_sigma_probe_dominates_in_practice():
+    """The default probe (max over sampled directions x margin) is a
+    quality-gated approximation; on a random field it must still
+    dominate the true sigma at unseen random directions for virtually
+    all points, and must be strictly tighter than the analytic bound
+    (which measures ~100% occupied on trained fields)."""
+    from spnerf_tpu.models.fused_tiny_nerf import (
+        TinyFieldConfig, direction_features, init_params, make_encoding)
+    from spnerf_tpu.ops.occupancy import field_sigma_grid
+
+    cfg = TinyFieldConfig()
+    params = init_params(jax.random.PRNGKey(3), scale=0.3)
+    A, c = make_encoding(cfg)
+    res = 12
+    grid = np.asarray(
+        field_sigma_grid(params, cfg, resolution=res, method="sampled",
+                         n_dirs=32, margin=2.0))
+    bound = np.asarray(
+        field_sigma_grid(params, cfg, resolution=res, method="bound"))
+    assert grid.mean() < bound.mean()  # strictly tighter on average
+
+    ext = float(cfg.far)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-ext, ext, (512, 3)).astype(np.float32)
+    dirs = rng.normal(size=(512, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    df = direction_features(params, jnp.asarray(dirs), A, c)
+    enc = jnp.sin(jnp.asarray(pts) @ A + c)
+    h = jax.nn.relu(enc @ params["w1"])
+    h = jax.nn.relu(h @ params["w2"] + df)
+    sigma = np.asarray((h @ params["w3"])[:, 0])
+    idx = np.clip(((pts + ext) / (2 * ext) * res).astype(int), 0, res - 1)
+    cell = grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    # the operative property is missed OCCUPANCY, not raw domination:
+    # a point whose true sigma clears the alpha threshold must live in
+    # a cell the probe also puts above threshold (before the 1-voxel
+    # dilation, which only adds coverage)
+    # (before dilation, which only adds coverage)
+    cfg16 = TinyFieldConfig(n_samples=16)
+    dt = (cfg16.far - cfg16.near) / cfg16.n_samples
+    thr = -np.log(1.0 - 1e-3) / dt
+    occupied = sigma > thr
+    assert occupied.sum() > 0  # the random field has occupied points
+    # the pipeline thresholds + dilates (occupancy_grid); check against
+    # exactly that product: every truly-occupied point must land in a
+    # live cell of the dilated grid
+    from spnerf_tpu.ops.occupancy import occupancy_grid
+
+    occ = np.asarray(occupancy_grid(jnp.asarray(grid), dt))
+    live = occ[idx[:, 0], idx[:, 1], idx[:, 2]]
+    missed = occupied & ~live
+    assert missed.sum() <= max(1, 0.01 * occupied.sum()), (
+        missed.sum(), occupied.sum())
+
+
+def test_chunk_flags_per_ray_tightness():
+    """A block mixing rays that hit an occupied core with rays that
+    miss it must keep chunks needed by ANY ray, and a block whose rays
+    all miss must skip."""
+    from spnerf_tpu.ops.occupancy import chunk_flags, integral_volume
+
+    res = 16
+    occ = np.zeros((res, res, res), bool)
+    occ[6:10, 6:10, 6:10] = True  # core at the center of [-4, 4]^3
+    ivol = integral_volume(jnp.asarray(occ))
+    ext, near, far = 4.0, 1.0, 3.0
+    # rays from +x axis toward the center: they traverse the core in
+    # the middle chunks only
+    o_hit = np.tile(np.array([[3.5, 0.0, 0.0]], np.float32), (4, 1))
+    d_hit = np.tile(np.array([[-1.0, 0.0, 0.0]], np.float32), (4, 1))
+    # rays far off-axis: never touch the core
+    o_miss = np.tile(np.array([[3.5, 3.2, 3.2]], np.float32), (4, 1))
+    d_miss = np.tile(np.array([[-1.0, 0.0, 0.0]], np.float32), (4, 1))
+    flags_hit = np.asarray(chunk_flags(
+        jnp.asarray(o_hit), jnp.asarray(d_hit), ivol, block=4,
+        n_samples=8, s_chunk=2, near=near, far=far, extent=ext))
+    flags_miss = np.asarray(chunk_flags(
+        jnp.asarray(o_miss), jnp.asarray(d_miss), ivol, block=4,
+        n_samples=8, s_chunk=2, near=near, far=far, extent=ext))
+    assert flags_hit.sum() > 0         # core chunks stay live
+    assert flags_miss.sum() == 0       # fully-missing block skips all
+    # a mixed block keeps the union of needs
+    o_mix = np.concatenate([o_hit[:2], o_miss[:2]])
+    d_mix = np.concatenate([d_hit[:2], d_miss[:2]])
+    flags_mix = np.asarray(chunk_flags(
+        jnp.asarray(o_mix), jnp.asarray(d_mix), ivol, block=4,
+        n_samples=8, s_chunk=2, near=near, far=far, extent=ext))
+    np.testing.assert_array_equal(flags_mix, flags_hit)
+
+
+def test_transmittance_early_stop_matches_dense(setup):
+    """With a dense (high-sigma) field, rays saturate after the first
+    chunks; the early-out must change outputs by at most ~eps."""
+    params, o, d = setup
+    hot = dict(params)
+    # inflate raw density so transmittance collapses quickly
+    hot["w3"] = params["w3"].at[:, 0].set(
+        jnp.abs(params["w3"][:, 0]) * 50.0 + 2.0)
+    cfg = TinyFieldConfig(n_samples=16)
+    dense = render_fused_rays(hot, o, d, cfg, s_chunk=4, interpret=True,
+                              early_stop_eps=0.0)
+    fast = render_fused_rays(hot, o, d, cfg, s_chunk=4, interpret=True,
+                             early_stop_eps=1e-3)
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(dense["rgb"]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(dense["depth"]), atol=2e-2)
