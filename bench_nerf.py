@@ -39,7 +39,7 @@ from spnerf_tpu.models.fused_tiny_nerf import (
     make_encoding,
 )
 
-N_RAYS = 131072
+N_RAYS = int(os.environ.get("SPNERF_BENCH_NERF_RAYS", "131072"))
 BASELINE_RAYS = 50e6
 FIELD_PATH = Path(__file__).parent / "benchmarks" / "data" / "sphere_field.npz"
 
@@ -78,44 +78,67 @@ def main():
     s_chunk = int(os.environ.get("SPNERF_RENDER_CHUNK", "8"))
 
     ivol = None
+    live_frac = None
     if mode.startswith("sphere"):
         from spnerf_tpu.ops.occupancy import chunk_flags, field_integral_volume
 
         # field-dependent, camera-independent: built once per field
         ivol = jax.block_until_ready(field_integral_volume(
             {k: v.astype(jnp.float32) for k, v in params.items()}, cfg))
+        fl = chunk_flags(o, d, ivol, block=block, n_samples=cfg.n_samples,
+                         s_chunk=s_chunk, near=cfg.near, far=cfg.far,
+                         extent=float(cfg.far))
+        live_frac = round(float(jnp.mean(fl.astype(jnp.float32))), 4)
 
-    @jax.jit
-    def render(oe, de, df, o, d):
-        flags = None
-        if ivol is not None:
-            flags = chunk_flags(o, d, ivol, block=block,
-                                n_samples=cfg.n_samples, s_chunk=s_chunk,
-                                near=cfg.near, far=cfg.far,
-                                extent=float(cfg.far))
-        return render_fused(
-            oe, de, params["w1"], params["w2"], params["w3"], df,
-            jitter=0.5, n_samples=cfg.n_samples, near=cfg.near, far=cfg.far,
-            block=block, s_chunk=s_chunk, flags=flags,
-        )
+    def make_render(use_occ: bool, es_eps: float):
+        @jax.jit
+        def render(oe, de, df, o, d):
+            flags = None
+            if use_occ and ivol is not None:
+                # camera-dependent: belongs in the timed region
+                flags = chunk_flags(o, d, ivol, block=block,
+                                    n_samples=cfg.n_samples, s_chunk=s_chunk,
+                                    near=cfg.near, far=cfg.far,
+                                    extent=float(cfg.far))
+            return render_fused(
+                oe, de, params["w1"], params["w2"], params["w3"], df,
+                jitter=0.5, n_samples=cfg.n_samples, near=cfg.near,
+                far=cfg.far, block=block, s_chunk=s_chunk, flags=flags,
+                early_stop_eps=es_eps,
+            )
 
-    np.asarray(render(oe, de, df, o, d)[0][:1])  # compile + materialize
+        return render
+
+    # production mode LAST: evidence tooling takes the final JSON line
+    variants = [
+        ("dense", make_render(False, 0.0)),
+        ("early-stop", make_render(False, 1e-3)),
+    ]
+    if ivol is not None:
+        variants += [
+            ("occupancy", make_render(True, 0.0)),
+            ("occupancy+early-stop", make_render(True, 1e-3)),
+        ]
 
     n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = render(oe, de, df, o, d)
-    np.asarray(out[0][:1])
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = N_RAYS * n_iters / dt
-    print(json.dumps({
-        "metric": "nerf_render_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/sec",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS, 4),
-        "mode": mode, "block": block, "s_chunk": s_chunk,
-    }))
+    for name, render in variants:
+        np.asarray(render(oe, de, df, o, d)[0][:1])  # compile + materialize
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = render(oe, de, df, o, d)
+        np.asarray(out[0][:1])
+        dt = time.perf_counter() - t0
+        rays_per_sec = N_RAYS * n_iters / dt
+        rec = {
+            "metric": "nerf_render_rays_per_sec",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/sec",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS, 4),
+            "mode": f"{mode}:{name}", "block": block, "s_chunk": s_chunk,
+        }
+        if live_frac is not None and "occupancy" in name:
+            rec["live_chunk_frac"] = live_frac
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
