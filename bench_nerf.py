@@ -74,8 +74,8 @@ def main():
     oe, de = encode_rays(o, d, A, c)
     df = direction_features(params, d, A, c)
 
-    block = int(os.environ.get("SPNERF_RENDER_BLOCK", "512"))
-    s_chunk = int(os.environ.get("SPNERF_RENDER_CHUNK", "8"))
+    block = int(os.environ.get("SPNERF_RENDER_BLOCK", "1024"))
+    s_chunk = int(os.environ.get("SPNERF_RENDER_CHUNK", "16"))
 
     ivol = None
     live_frac = None
@@ -109,16 +109,48 @@ def main():
 
         return render
 
-    # production mode LAST: evidence tooling takes the final JSON line
+    def make_render_int8(qf, use_occ: bool, es_eps: float):
+        from spnerf_tpu.kernels.render_pallas import render_fused_int8
+
+        @jax.jit
+        def render(oe, de, df, o, d):
+            flags = None
+            if use_occ and ivol is not None:
+                flags = chunk_flags(o, d, ivol, block=block,
+                                    n_samples=cfg.n_samples, s_chunk=s_chunk,
+                                    near=cfg.near, far=cfg.far,
+                                    extent=float(cfg.far))
+            return render_fused_int8(
+                oe, de, qf, df, jitter=0.5, n_samples=cfg.n_samples,
+                near=cfg.near, far=cfg.far, block=block, s_chunk=s_chunk,
+                flags=flags, early_stop_eps=es_eps,
+            )
+
+        return render
+
+    # production mode LAST: evidence tooling takes the final JSON line.
+    # bf16 early-stop is the production default: the kernel is
+    # matmul-bound at the chip's measured bf16 MXU rate (docs/PERF.md
+    # round-4 SoL analysis); int8 measured SLOWER (no MXU rate win on
+    # v5e + quantize VPU cost) and occupancy flags only pay on scenes
+    # far sparser than this benchmark's (live_frac ~0.8-1.0 here).
     variants = [
         ("dense", make_render(False, 0.0)),
-        ("early-stop", make_render(False, 1e-3)),
     ]
     if ivol is not None:
         variants += [
-            ("occupancy", make_render(True, 0.0)),
             ("occupancy+early-stop", make_render(True, 1e-3)),
         ]
+    if os.environ.get("SPNERF_RENDER_INT8", "0") != "0":
+        from spnerf_tpu.kernels.render_pallas import quantize_field
+
+        fparams = {k: v.astype(jnp.float32) for k, v in params.items()}
+        calib = slice(0, 4096)
+        qf = quantize_field(fparams, oe[calib], de[calib], df[calib],
+                            n_samples=cfg.n_samples, near=cfg.near,
+                            far=cfg.far)
+        variants += [("int8+early-stop", make_render_int8(qf, False, 1e-3))]
+    variants += [("early-stop", make_render(False, 1e-3))]
 
     n_iters = 10
     for name, render in variants:

@@ -134,9 +134,7 @@ def main(iters=1500):
                         s_chunk=8, near=cfg.near, far=cfg.far,
                         extent=float(cfg.far))
     live = float(jnp.mean(flags.astype(jnp.float32)))
-    for name, iv in (("dense", None), ("occupancy-skip", ivol)):
-        out_k = render_fused_rays(bp, ot, dt, cfg, occupancy_ivol=iv)
-        rgb_k, depth_k = out_k["rgb"], out_k["depth"]
+    def score(rgb_k, depth_k, name):
         mse = float(jnp.mean((rgb_k - rgb_t) ** 2))
         psnr = -10.0 * np.log10(mse)
         derr = jnp.abs(depth_k - tt) / tt
@@ -144,8 +142,26 @@ def main(iters=1500):
                           / jnp.mean(hit_t.astype(jnp.float32)))
         print(f"held-out PSNR through fused kernel [{name}]: {psnr:.1f} dB; "
               f"mean surface-depth error {mean_derr * 100:.1f}%")
+
+    for name, iv in (("dense", None), ("occupancy-skip", ivol)):
+        out_k = render_fused_rays(bp, ot, dt, cfg, occupancy_ivol=iv)
+        score(out_k["rgb"], out_k["depth"], name)
     print(f"live chunk fraction: {live * 100:.1f}% "
           f"(skipped {100 * (1 - live):.1f}% of sample chunks)")
+
+    # int8 serving path (kernels/render_pallas.render_fused_int8): same
+    # gate, proving the 2x-MXU-rate path renders a usable field
+    from spnerf_tpu.kernels.render_pallas import (
+        quantize_field, render_fused_int8)
+
+    oe_t, de_t = encode_rays(ot, dt, A, c)
+    df_t = direction_features(params, dt, A, c)
+    qf = quantize_field(params, oe_t[:4096], de_t[:4096], df_t[:4096],
+                        n_samples=cfg.n_samples, near=cfg.near, far=cfg.far)
+    rgb_q, depth_q = render_fused_int8(
+        oe_t, de_t, qf, df_t, jitter=0.5, n_samples=cfg.n_samples,
+        near=cfg.near, far=cfg.far, early_stop_eps=1e-3)
+    score(rgb_q, depth_q, "int8")
 
 
 if __name__ == "__main__":

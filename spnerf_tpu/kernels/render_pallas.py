@@ -159,7 +159,7 @@ def render_fused(
     near: float = 2.0,
     far: float = 6.0,
     block: int = 512,
-    s_chunk: int = 8,
+    s_chunk: int = 16,
     flags: jnp.ndarray | None = None,
     interpret: bool = False,
     early_stop_eps: float = 1e-3,
@@ -234,6 +234,16 @@ def render_fused(
             pltpu.VMEM((block, 1), jnp.float32),
             pltpu.VMEM((block, 1), jnp.float32),
         ],
+        # v5e has 128M VMEM; the default 16M scoped limit rejects
+        # block*s_chunk > 4096 (measured: block=512, s_chunk=16 needs
+        # 17.24M). Budget the actual scratch + blocked operands, x2 for
+        # Mosaic double-buffering, floor 16M.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 2**20,
+                2 * (block * s_chunk * (2 * ENC * w1.dtype.itemsize + HID * 4)
+                     + 10 * block * (ENC + HID) * 4)),
+        ),
         interpret=interpret,
     )(jit_arr, jnp.asarray(flags, jnp.int32), oe, de, df, jnp.asarray(w1),
       jnp.asarray(w2), jnp.asarray(w3))
@@ -244,3 +254,264 @@ def render_fused(
     # rgb accumulator's unused col 4 carries nothing, so recover acc from
     # depth/rgb is not possible — callers needing acc use the XLA path.
     return rgb, depth
+
+
+# ---------------------------------------------------------------------------
+# int8 serving variant
+#
+# The bf16 kernel is matmul-bound at its MXU speed of light (measured
+# round 4: ~16M rays/s = ~49 TFLOP/s effective, vs ~50-56 TFLOP/s for
+# pure XLA matmuls of the same (R,128)@(128,128) shape class on this
+# chip). The only way past it is fewer/cheaper MACs: int8 runs the MXU
+# at twice the bf16 rate. Scheme (mirrors ops/serving.py for the
+# SuperPoint backbone): symmetric int8, per-output-column weight scales,
+# per-tensor activation scales calibrated on sample renders; the
+# encoding is EXACTLY representable (sin in [-1,1], scale 1/127) and
+# compositing stays f32, so only the two hidden activations quantize.
+# ---------------------------------------------------------------------------
+
+
+def quantize_field(params, calib_oe, calib_de, calib_df, *, n_samples=32,
+                   near=2.0, far=6.0, jitter=0.5):
+    """Quantize tiny-field MLP weights to int8 for ``render_fused_int8``.
+
+    Calibrates the two hidden-activation scales by running the XLA
+    reference math over the calibration rays at every sample depth and
+    taking the max. Returns a dict of int8 weights + f32 scale vectors
+    (all host-materialized numpy; build once per field, like the
+    occupancy volume).
+    """
+    w1 = np.asarray(params["w1"], np.float32)
+    w2 = np.asarray(params["w2"], np.float32)
+    w3 = np.asarray(params["w3"], np.float32)
+
+    def colscale(w):
+        s = np.abs(w).max(axis=0) / 127.0
+        return np.where(s > 0, s, 1.0).astype(np.float32)
+
+    s1, s2, s3 = colscale(w1), colscale(w2), colscale(w3)
+    qw1 = np.clip(np.rint(w1 / s1), -127, 127).astype(np.int8)
+    qw2 = np.clip(np.rint(w2 / s2), -127, 127).astype(np.int8)
+    qw3 = np.clip(np.rint(w3 / s3), -127, 127).astype(np.int8)
+
+    # activation calibration through the QUANTIZED layer-1/2 weights so
+    # the scales see the ranges the kernel will actually produce
+    oe = np.asarray(calib_oe, np.float32)
+    de = np.asarray(calib_de, np.float32)
+    df = np.asarray(calib_df, np.float32)
+    dt = (far - near) / n_samples
+    dq1 = qw1.astype(np.float32) * s1 / 127.0  # enc scale folded (se=1/127)
+    dq2 = qw2.astype(np.float32) * s2
+    # pass 1: layer-1 range over all sample depths
+    h_max = 1e-6
+    for s in range(n_samples):
+        t_s = near + (s + jitter) * dt
+        enc = np.rint(np.sin(oe + t_s * de) * 127.0)
+        h_max = max(h_max, float(np.maximum(enc @ dq1, 0.0).max()))
+    a1 = h_max / 127.0
+    # pass 2: layer-2 range through the FINAL layer-1 quantizer
+    h2_max = 1e-6
+    for s in range(n_samples):
+        t_s = near + (s + jitter) * dt
+        enc = np.rint(np.sin(oe + t_s * de) * 127.0)
+        qh = np.clip(np.rint(np.maximum(enc @ dq1, 0.0) / a1), 0, 127)
+        h2 = np.maximum(qh @ dq2 * a1 + df, 0.0)
+        h2_max = max(h2_max, float(h2.max()))
+    a2 = h2_max / 127.0
+    return {
+        "qw1": qw1, "qw2": qw2, "qw3": qw3,
+        # layer 1: qh = round(clip(relu(acc1) * m1, 0, 127))
+        "m1": (s1 / (127.0 * a1)).astype(np.float32),
+        # layer 2: qh2 = round(clip(relu(acc2 * m2 + df * ia2), 0, 127))
+        "m2": (s2 * (a1 / a2)).astype(np.float32),
+        "ia2": np.float32(1.0 / a2),
+        # layer 3: head = acc3 * r3
+        "r3": (s3 * a2).astype(np.float32),
+        "a1": np.float32(a1), "a2": np.float32(a2),
+    }
+
+
+def _kernel_int8(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref, w2_ref,
+                 w3_ref, scl_ref, out_ref, depth_ref, enc_scr, h_scr,
+                 head_scr, sig_scr, rgb_scr, dep_scr, trans_scr, *,
+                 n_samples, s_chunk, near, far, block, early_stop_eps, ia2):
+    """int8 twin of ``_kernel``: same sampling/compositing, quantized
+    MLP. ``scl_ref`` is an (8, HID) f32 VMEM input whose rows 0/1/2 are
+    the per-column rescales m1/m2/r3 (8 sublanes for tile alignment);
+    ia2 is a compile-time scalar."""
+    jitter = jit_ref[0, 0]
+    bi = pl.program_id(0)
+    dt = (far - near) / n_samples
+    oe = oe_ref[...]
+    de = de_ref[...]
+    R = block
+
+    rgb_scr[...] = jnp.zeros((R, HID), jnp.float32)
+    dep_scr[...] = jnp.zeros((R, 1), jnp.float32)
+    trans_scr[...] = jnp.ones((R, 1), jnp.float32)
+
+    scl = scl_ref[...]
+    c_m1 = scl[0:1, :]
+    c_m2 = scl[1:2, :]
+    c_r3 = scl[2:3, :]
+
+    df = df_ref[...].astype(jnp.float32) * ia2  # pre-scaled for layer 2
+    df_all = jnp.broadcast_to(df[None], (s_chunk, block, HID)).reshape(
+        s_chunk * block, HID)
+    sd = jnp.sin(dt * de)
+    cd = jnp.cos(dt * de)
+
+    for ci in range(n_samples // s_chunk):
+        live = flag_ref[bi, ci] != 0
+        if early_stop_eps > 0.0 and ci > 0:
+            live = live & (jnp.max(trans_scr[...]) > early_stop_eps)
+
+        @pl.when(live)
+        def _(ci=ci):
+            t0 = near + (ci * s_chunk + jitter) * dt
+            u = jnp.sin(oe + t0 * de)
+            v = jnp.cos(oe + t0 * de)
+            for s in range(s_chunk):
+                # sin in [-1, 1]: *127 is exact symmetric int8
+                enc_scr[pl.ds(s * R, R), :] = jnp.round(
+                    u * 127.0).astype(jnp.int8)
+                un = u * cd + v * sd
+                v = v * cd - u * sd
+                u = un
+
+            acc1 = jax.lax.dot_general(
+                enc_scr[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h_scr[...] = jnp.round(jnp.clip(
+                jnp.maximum(acc1, 0).astype(jnp.float32) * c_m1,
+                0.0, 127.0)).astype(jnp.int8)
+            acc2 = jax.lax.dot_general(
+                h_scr[...], w2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h2 = jnp.maximum(acc2.astype(jnp.float32) * c_m2 + df_all, 0.0)
+            h_scr[...] = jnp.round(jnp.clip(h2, 0.0, 127.0)).astype(jnp.int8)
+            acc3 = jax.lax.dot_general(
+                h_scr[...], w3_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            head_scr[...] = acc3.astype(jnp.float32) * c_r3
+            sig_scr[...] = head_scr[:, 0:1]
+            head_scr[...] = jax.nn.sigmoid(head_scr[...])
+
+            rgb_acc = rgb_scr[...]
+            depth_acc = dep_scr[...]
+            trans = trans_scr[...]
+            for s in range(s_chunk):
+                t_s = near + (ci * s_chunk + s + jitter) * dt
+                sigma = sig_scr[pl.ds(s * R, R), :]
+                alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dt)
+                w = trans * alpha
+                rgb_acc = rgb_acc + jnp.broadcast_to(w, (R, HID)) * \
+                    head_scr[pl.ds(s * R, R), :]
+                depth_acc = depth_acc + w * t_s
+                trans = trans * (1.0 - alpha)
+            rgb_scr[...] = rgb_acc
+            dep_scr[...] = depth_acc
+            trans_scr[...] = trans
+
+    out_ref[...] = rgb_scr[...]
+    depth_ref[...] = jnp.broadcast_to(dep_scr[...], (R, HID))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "near", "far", "block",
+                              "s_chunk", "interpret", "early_stop_eps",
+                              "ia2")
+)
+def _render_fused_int8(oe, de, qw1, qw2, qw3, scl, df, jitter, n_samples,
+                       near, far, block, s_chunk, flags, interpret,
+                       early_stop_eps, ia2):
+    N = oe.shape[0]
+    pad = (-N) % block
+    oe = jnp.pad(oe, ((0, pad), (0, 0)))
+    de = jnp.pad(de, ((0, pad), (0, 0)))
+    df = jnp.pad(df, ((0, pad), (0, 0)))
+    n_blocks = (N + pad) // block
+    n_chunks = n_samples // s_chunk
+    if flags is None:
+        flags = jnp.ones((n_blocks, n_chunks), jnp.int32)
+
+    kernel = functools.partial(
+        _kernel_int8, n_samples=n_samples, s_chunk=s_chunk, near=near,
+        far=far, block=block, early_stop_eps=float(early_stop_eps),
+        ia2=float(ia2),
+    )
+    jit_arr = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
+    rgb_w, depth_w = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_blocks, n_chunks), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, HID), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, HID), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
+            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block * s_chunk, ENC), jnp.int8),
+            pltpu.VMEM((block * s_chunk, HID), jnp.int8),
+            pltpu.VMEM((block * s_chunk, HID), jnp.float32),
+            pltpu.VMEM((block * s_chunk, 1), jnp.float32),
+            pltpu.VMEM((block, HID), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 2**20,
+                2 * (block * s_chunk * (ENC + HID + HID * 4)
+                     + 10 * block * (ENC + HID) * 4)),
+        ),
+        interpret=interpret,
+    )(jit_arr, jnp.asarray(flags, jnp.int32), oe, de, df,
+      jnp.asarray(qw1), jnp.asarray(qw2), jnp.asarray(qw3), scl)
+    return rgb_w[:N, 1:4], depth_w[:N, 0]
+
+
+def render_fused_int8(oe, de, qfield, df=None, jitter=0.5, n_samples=32,
+                      near=2.0, far=6.0, block=512, s_chunk=16, flags=None,
+                      interpret=False, early_stop_eps=1e-3):
+    """Render encoded rays through the int8-quantized field.
+
+    ``qfield`` is the dict from :func:`quantize_field`. Same contract as
+    :func:`render_fused` otherwise.
+    """
+    if df is None:
+        df = jnp.zeros_like(oe)
+    if n_samples % s_chunk:
+        raise ValueError(f"n_samples={n_samples} % s_chunk={s_chunk} != 0")
+    scl = np.zeros((8, HID), np.float32)
+    scl[0] = qfield["m1"]
+    scl[1] = qfield["m2"]
+    scl[2] = qfield["r3"]
+    return _render_fused_int8(
+        oe, de, qfield["qw1"], qfield["qw2"], qfield["qw3"],
+        jnp.asarray(scl), df, jitter, n_samples, near, far, block,
+        s_chunk, flags, interpret, float(early_stop_eps),
+        float(qfield["ia2"]))

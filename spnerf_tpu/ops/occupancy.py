@@ -145,11 +145,19 @@ def integral_volume(occ: jnp.ndarray) -> jnp.ndarray:
 
 
 def _box_count(ivol, lo, hi):
-    """Occupied-voxel count in [lo, hi] (inclusive voxel ranges, (..., 3))."""
+    """Occupied-voxel count in [lo, hi] (inclusive voxel ranges, (..., 3)).
+
+    The 8 summed-area-table corners are fetched with FLAT 1-D takes
+    (index arithmetic on the host side of the gather): XLA lowers 3-D
+    advanced indexing to a multi-dim gather that runs ~8x slower on TPU
+    than the linearized form (measured round 4: 47ms -> ~6ms for the
+    131k-ray flag build)."""
     h = hi + 1
+    S = ivol.shape[0]
+    flat = ivol.reshape(-1)
 
     def at(ix, iy, iz):
-        return ivol[ix, iy, iz]
+        return jnp.take(flat, (ix * S + iy) * S + iz)
 
     x0, y0, z0 = lo[..., 0], lo[..., 1], lo[..., 2]
     x1, y1, z1 = h[..., 0], h[..., 1], h[..., 2]
