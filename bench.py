@@ -152,7 +152,7 @@ def main():
             if i == len(plan) - 1:
                 raise
 
-    n_iters = 20
+    n_iters = int(os.environ.get("SPNERF_BENCH_ITERS", "40"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = infer(x)

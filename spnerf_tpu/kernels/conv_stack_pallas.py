@@ -123,10 +123,14 @@ def _plain_kernel(x_ref, top_ref, bot_ref, w_ref, m_ref, b_ref, o_ref,
     rows = jnp.concatenate(
         [top_ref[0], x_ref[0, 0], bot_ref[0]], axis=0
     )  # (hb + 2, W + 2, Cin) — W pre-padded by caller
+    # hoist the 3 dx-shifted views: the misaligned sublane slice is a
+    # whole-slab rotate-copy, so do it once per dx instead of once per
+    # (dy, dx) tap (see tail_fused_pallas._tap_views)
+    taps = (rows[:, 0:W, :], rows[:, 1:W + 1, :], rows[:, 2:W + 2, :])
     acc = jnp.zeros((hb * W, Cout), acc_dtype)
     for dy in range(3):
         for dx in range(3):
-            xs = rows[dy:dy + hb, dx:dx + W, :]
+            xs = taps[dx][dy:dy + hb]
             acc += jnp.dot(xs.reshape(hb * W, Cin), w_ref[dy * 3 + dx],
                            preferred_element_type=acc_dtype)
     y = _affine(acc.astype(jnp.float32), m_ref[0], b_ref[0], relu)

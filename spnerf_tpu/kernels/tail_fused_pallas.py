@@ -50,13 +50,24 @@ def _pick_hc(H: int, W: int, Cout: int, budget: int = 2 * 1024 * 1024) -> int:
     return best
 
 
-def _conv_chunk(rows, w_ref, r0, hc, W, Cin, Cout, acc_dtype):
-    """9-tap accumulated dot over rows [r0, r0+hc) of a border-padded
-    (H+2, W+2, Cin) array -> (hc*W, Cout) accumulator."""
+def _tap_views(rows, W):
+    """The three dx-shifted views of a border-padded (H+2, W+2, Cin)
+    array, hoisted ONCE per conv. dx slices offset the SUBLANE axis
+    (misaligned by 1), which Mosaic lowers to a sublane-rotate copy of
+    the whole slab — doing it per (chunk, tap) made 9+ such copies per
+    conv and held the 60x80 tail stages to ~27 TOP/s (half the rate of
+    the large-conv stages). The dy/chunk slices left on the leading
+    (untiled) axis are register selects, not copies."""
+    return (rows[:, 0:W, :], rows[:, 1:W + 1, :], rows[:, 2:W + 2, :])
+
+
+def _conv_chunk(taps, w_ref, r0, hc, W, Cin, Cout, acc_dtype):
+    """9-tap accumulated dot over rows [r0, r0+hc) of the hoisted tap
+    views -> (hc*W, Cout) accumulator."""
     acc = jnp.zeros((hc * W, Cout), acc_dtype)
     for dy in range(3):
         for dx in range(3):
-            xs = rows[r0 + dy:r0 + dy + hc, dx:dx + W, :]
+            xs = taps[dx][r0 + dy:r0 + dy + hc]
             acc += jnp.dot(xs.reshape(hc * W, Cin), w_ref[dy * 3 + dx],
                            preferred_element_type=acc_dtype)
     return acc
@@ -67,18 +78,20 @@ def _dbl_kernel(x_ref, wa_ref, ma_ref, ba_ref, wb_ref, mb_ref, bb_ref,
                 relu, acc_dtype, out_dtype):
     zrow = jnp.zeros((1, W + 2, Cin), x_ref.dtype)
     rows = jnp.concatenate([zrow, x_ref[0], zrow], axis=0)  # (H+2, W+2, Cin)
+    taps = _tap_views(rows, W)
     # zero the scratch SAME borders once; chunk stores fill the interior
     a_scr[0:1] = jnp.zeros((1, W + 2, Cmid), a_scr.dtype)
     a_scr[H + 1:H + 2] = jnp.zeros((1, W + 2, Cmid), a_scr.dtype)
     a_scr[:, 0:1] = jnp.zeros((H + 2, 1, Cmid), a_scr.dtype)
     a_scr[:, W + 1:W + 2] = jnp.zeros((H + 2, 1, Cmid), a_scr.dtype)
     for r0 in range(0, H, hca):
-        acc = _conv_chunk(rows, wa_ref, r0, hca, W, Cin, Cmid, acc_dtype)
+        acc = _conv_chunk(taps, wa_ref, r0, hca, W, Cin, Cmid, acc_dtype)
         y = _affine(acc.astype(jnp.float32), ma_ref[0], ba_ref[0], True)
         a_scr[1 + r0:1 + r0 + hca, 1:1 + W] = _cast(y, a_scr.dtype).reshape(
             hca, W, Cmid)
+    taps_b = _tap_views(a_scr[...], W)
     for r0 in range(0, H, hcb):
-        acc = _conv_chunk(a_scr, wb_ref, r0, hcb, W, Cmid, Cout, acc_dtype)
+        acc = _conv_chunk(taps_b, wb_ref, r0, hcb, W, Cmid, Cout, acc_dtype)
         y = _affine(acc.astype(jnp.float32), mb_ref[0], bb_ref[0], relu)
         o_ref[0, r0:r0 + hcb] = _cast(y, out_dtype).reshape(hcb, W, Cout)
 
@@ -145,8 +158,9 @@ def _head_kernel(x_ref, w3_ref, m3_ref, b3_ref, w1_ref, m1_ref, b1_ref,
                  mid_dtype, acc_dtype, out_dtype):
     zrow = jnp.zeros((1, W + 2, Cin), x_ref.dtype)
     rows = jnp.concatenate([zrow, x_ref[0], zrow], axis=0)
+    taps = _tap_views(rows, W)
     for r0 in range(0, H, hc):
-        acc = _conv_chunk(rows, w3_ref, r0, hc, W, Cin, Cmid, acc_dtype)
+        acc = _conv_chunk(taps, w3_ref, r0, hc, W, Cin, Cmid, acc_dtype)
         y = _affine(acc.astype(jnp.float32), m3_ref[0], b3_ref[0], True)
         mid = _cast(y, mid_dtype)
         acc1 = jnp.dot(mid, w1_ref[:],
