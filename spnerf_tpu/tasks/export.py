@@ -191,19 +191,24 @@ def export_pseudo_labels(
 
     key = jax.random.PRNGKey(seed)
     pending = None  # 1-deep software pipeline: host IO overlaps device HA
+    img_seen = 0  # global image cursor: keys are fold_in(key, index)
     for bi, batch in enumerate(loader):
         names = batch["name"]
         img = np.asarray(batch["image"])
         n_real = img.shape[0]
-        key, sub = jax.random.split(key)
         todo = [(i, n) for i, n in enumerate(names)
                 if not (out_dir / f"{n}.npy").exists()]
+        idx0, img_seen = img_seen, img_seen + n_real
         if not todo:
             continue
-        # per-image keys from the UNPADDED batch: padding to the fixed
-        # batch must not reshuffle the homographies of real images, so
-        # sharded/padded exports stay bit-identical to plain runs
-        img_keys = np.asarray(jax.random.split(sub, n_real))
+        # per-image keys fold in the GLOBAL image index, so the warp
+        # draws are a pure function of (seed, dataset order): exports
+        # are bit-identical across batch sizes, sharding, padding and
+        # resumes (a per-batch split chain made labels depend on
+        # batch_size, which round 4 caught confounding the int8-vs-bf16
+        # label-agreement comparison)
+        img_keys = np.asarray(jax.vmap(jax.random.fold_in, (None, 0))(
+            key, jnp.arange(idx0, idx0 + n_real)))
         pad = max(b_fixed, -(-n_real // n_shard) * n_shard) - n_real
         image_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         if pad:  # padded rows are discarded on flush

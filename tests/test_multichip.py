@@ -162,3 +162,45 @@ def test_sharded_ha_export_pad_invariant(tmp_path, monkeypatch):
     assert set(outs["single"]) == set(outs["mesh"]) and len(outs["single"]) == 5
     for name in outs["single"]:
         np.testing.assert_array_equal(outs["single"][name], outs["mesh"][name])
+
+
+def test_ha_export_batch_size_invariant(tmp_path, monkeypatch):
+    """Exported labels are a pure function of (seed, dataset order):
+    re-batching the same images (b=2 vs b=4) writes bit-identical
+    artifacts. Regression for the round-4 bug where per-image HA keys
+    came from a per-BATCH split chain, so changing batch_size redrew
+    every homography (and confounded the int8-vs-bf16 label-agreement
+    comparison at mismatched batch sizes)."""
+    from spnerf_tpu.models import SuperPointConfig, init_superpoint
+    from spnerf_tpu.tasks import export as export_mod
+
+    H = W = 32
+    cfg = SuperPointConfig(model_name="magicpoint",
+                           vgg_cn=(4, 4, 8, 8, 8, 8, 8, 8),
+                           detector_dim=(8, 16), det_thresh=0.001)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg,
+                                       (1, H, W, 1))
+    rng = np.random.default_rng(5)
+    images = rng.uniform(0, 1, (4, H, W, 1)).astype(np.float32)
+    names = [f"img{i}" for i in range(4)]
+    config = {
+        "data": {"experiment_name": "ha_bs"},
+        "model": {"detector_head": {"nms": 4, "det_thresh": 0.001,
+                                    "top_k": 50}},
+        "homography_adaptation": {"num": 4, "chunk": 2},
+    }
+
+    outs = {}
+    for b in (2, 4):
+        loader = [{"image": images[i:i + b], "name": names[i:i + b]}
+                  for i in range(0, 4, b)]
+        root = tmp_path / f"b{b}"
+        monkeypatch.setattr(export_mod, "EXPER_PATH", root)
+        out_dir = export_mod.export_pseudo_labels(
+            config, model, variables, loader, split="training",
+            enable_ha=True, seed=7, mesh=None)
+        outs[b] = {p.name: np.load(p) for p in sorted(out_dir.glob("*.npy"))}
+
+    assert set(outs[2]) == set(outs[4]) and len(outs[2]) == 4
+    for name in outs[2]:
+        np.testing.assert_array_equal(outs[2][name], outs[4][name])
