@@ -78,8 +78,15 @@ def ha_cells():
     parts = [f"{k} {v:.1f}" for k, v in rates.items()]
     cell = "**" + " / ".join(parts) + " img/s**"
     if ious:
+        # deterministic-key measurements supersede the batch-confounded
+        # ones (round 4: per-image warp keys depended on batch size
+        # before tasks/export.py's fold_in fix) — show only the valid
+        # protocol when present; the JSONL keeps the full history
+        det = {k: v for k, v in ious.items() if "deterministic" in k}
+        show = det or ious
         cell += "; exact-IoU vs bf16: " + ", ".join(
-            f"{k.split('_vs_')[-1]} {v:.2f}" for k, v in ious.items())
+            f"{k.split('_vs_')[-1].replace('_deterministic_keys', '')} "
+            f"{v:.2f}" for k, v in show.items())
     return cell
 
 
@@ -89,7 +96,11 @@ def nerf_cell():
         return None
     v = r["value"]
     if r.get("unit", "").startswith("rays"):
-        return f"**{v / 1e6:.1f}M rays/s**"
+        mode = r.get("mode", "")
+        tail = mode.split(":")[-1] if ":" in mode else mode
+        extra = (f" ({tail}, block={r['block']}/s_chunk={r['s_chunk']})"
+                 if "block" in r else f" ({tail})" if tail else "")
+        return f"**{v / 1e6:.1f}M rays/s**{extra}"
     return f"**{v:,.0f} {r.get('unit', '')}**"
 
 
