@@ -2,19 +2,23 @@
 
 Target (BASELINE.md): >= 50M rays/sec/chip on v5e.
 
-Headline: the fused Pallas serving renderer (kernels/render_pallas.py) —
-positional encoding, MLP and alpha compositing in one kernel, the
-production fast-NeRF path (tiny Fourier-feature field, 32 samples/ray,
-along-ray depth), now sample-chunked with occupancy skipping
-(ops/occupancy.py): chunks of samples whose frustum AABB misses the
-field's density grid skip encoding + MLP + compositing entirely.
+Headline (the LAST printed line): the fused Pallas serving renderer
+(kernels/render_pallas.py) in its production mode — bf16,
+transmittance early-stop, block=1024/s_chunk=16 — positional encoding,
+MLP and alpha compositing in one kernel (tiny Fourier-feature field,
+32 samples/ray, along-ray depth). This mode measures AT the kernel's
+bf16 MXU speed of light on the dev chip (docs/PERF.md round-4
+accounting). Also reported: dense (no early-out), occupancy
+chunk-skipping (per-frame flag build in the timed region — only pays
+on scenes sparser than this benchmark's), and, opt-in via
+SPNERF_RENDER_INT8=1, the int8 twin (measured slower on v5e; kept for
+the record).
 
 Protocol: a trained sphere field (benchmarks/data/sphere_field.npz,
 written by benchmarks/nerf_quality_sphere.py --save; quality gate
->= 39 dB PSNR runs THROUGH this kernel with real flags) rendered from
-an orbit camera — flags computed on device from the field's own
-occupancy grid, included in the timed region. Falls back to dense
-(all-chunks) rendering when no trained field is on disk.
+>= 39 dB PSNR runs THROUGH this kernel) rendered from an orbit
+camera. Falls back to dense rendering when no trained field is on
+disk.
 
 Prints one JSON line {"metric": "nerf_render_rays_per_sec", ...}.
 """

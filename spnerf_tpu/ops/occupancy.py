@@ -148,10 +148,12 @@ def _box_count(ivol, lo, hi):
     """Occupied-voxel count in [lo, hi] (inclusive voxel ranges, (..., 3)).
 
     The 8 summed-area-table corners are fetched with FLAT 1-D takes
-    (index arithmetic on the host side of the gather): XLA lowers 3-D
-    advanced indexing to a multi-dim gather that runs ~8x slower on TPU
-    than the linearized form (measured round 4: 47ms -> ~6ms for the
-    131k-ray flag build)."""
+    (index arithmetic outside the gather): XLA lowers 3-D advanced
+    indexing to a multi-dim gather that runs ~3x slower on TPU than the
+    linearized form (measured round 4: 47 -> 17.5ms for the 131k-ray
+    flag build at block=512/s_chunk=16). Even linearized, per-frame
+    flags only pay when the scene is sparse enough that the skipped
+    chunks outweigh the build (dense render is ~8ms at 131k rays)."""
     h = hi + 1
     S = ivol.shape[0]
     flat = ivol.reshape(-1)
