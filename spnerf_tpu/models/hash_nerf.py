@@ -8,10 +8,17 @@ recipe (Mueller et al., Instant Neural Graphics Primitives).
 
 TPU status: the encoding is gather-bound (8 corners x L levels per
 sample); XLA gathers run at ~90M elements/s on the current chip, so
-this JAX implementation is a correctness-complete foundation — the
-planned Pallas kernel (tables resident in VMEM, fused
-sample->hash->interp->MLP) is the round-2 path to the throughput
-target.
+this JAX implementation is a correctness-complete foundation. The once
+"planned" fused Pallas kernel (tables resident in VMEM, fused
+sample->hash->interp->MLP) was probed and is NOT viable on this
+toolchain (benchmarks/mosaic_gather_probe.py, jax 0.9 Mosaic): random
+sublane gathers do not lower (compiler crash), 1-D/2-D ``jnp.take``
+forms are rejected, and the one supported form — per-element LANE
+gather — yields only 1/128 useful lanes for per-ray scalar fetches
+(~2M rays/s bound, measured arithmetic in docs/PERF.md round 4+).
+The fast serving family is therefore the fused tiny field
+(models/fused_tiny_nerf.py + kernels/render_pallas.py), whose
+throughput/quality knob is MLP width via sample packing.
 """
 
 from __future__ import annotations
