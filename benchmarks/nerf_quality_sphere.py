@@ -57,9 +57,19 @@ def sphere_scene(key, n, near=2.0, far=6.0):
 
 
 def main(iters=1500):
-    cfg = TinyFieldConfig(n_samples=32, near=2.0, far=6.0)
+    # --width W: gate a narrow packed-serving field (64/32) instead of
+    # the 128-wide production field; eval runs THROUGH the packed kernel
+    width = 128
+    if "--width" in sys.argv:
+        width = int(sys.argv[sys.argv.index("--width") + 1])
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    # --interpret: run the Pallas kernel in interpret mode (CPU drive of
+    # the packed path; the dB gate only binds on chip)
+    interpret = "--interpret" in sys.argv
+    cfg = TinyFieldConfig(n_samples=32, near=2.0, far=6.0, width=width)
     A, c = make_encoding(cfg)
-    params = init_params(jax.random.PRNGKey(0))
+    params = init_params(jax.random.PRNGKey(0), width=width)
     tx = optax.adam(3e-3)
     opt = tx.init(params)
 
@@ -113,7 +123,9 @@ def main(iters=1500):
           f"final loss {loss:.5f}")
 
     if "--save" in sys.argv:
-        out = Path(__file__).parent / "data" / "sphere_field.npz"
+        name = ("sphere_field.npz" if width == 128
+                else f"sphere_field_w{width}.npz")
+        out = Path(__file__).parent / "data" / name
         out.parent.mkdir(exist_ok=True)
         np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
         print(f"saved trained field -> {out}")
@@ -125,6 +137,26 @@ def main(iters=1500):
 
     ot, dt, rgb_t, tt, hit_t = sphere_scene(jax.random.PRNGKey(9), 1 << 16)
     bp = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+    if width != 128:
+        # narrow field: the serving path is the k-packed kernel; the
+        # occupancy/int8 stages are 128-wide-only and are skipped
+        from spnerf_tpu.models.fused_tiny_nerf import (
+            render_fused_rays_packed)
+
+        for eps, name in ((0.0, "packed-dense"), (1e-3, "packed-early-stop")):
+            out_k = render_fused_rays_packed(bp, ot, dt, cfg,
+                                             early_stop_eps=eps,
+                                             interpret=interpret)
+            score2 = out_k
+            mse = float(jnp.mean((out_k["rgb"] - rgb_t) ** 2))
+            psnr = -10.0 * np.log10(mse)
+            derr = jnp.abs(out_k["depth"] - tt) / tt
+            mean_derr = float(jnp.mean(jnp.where(hit_t, derr, 0.0))
+                              / jnp.mean(hit_t.astype(jnp.float32)))
+            print(f"held-out PSNR through PACKED kernel (w={width}) "
+                  f"[{name}]: {psnr:.1f} dB; mean surface-depth error "
+                  f"{mean_derr * 100:.1f}%")
+        return
     ivol = field_integral_volume(params, cfg)
     res = ivol.shape[0] - 1
     occ_frac = float(ivol[-1, -1, -1]) / res**3

@@ -515,3 +515,320 @@ def render_fused_int8(oe, de, qfield, df=None, jitter=0.5, n_samples=32,
         jnp.asarray(scl), df, jitter, n_samples, near, far, block,
         s_chunk, flags, interpret, float(early_stop_eps),
         float(qfield["ia2"]))
+
+
+# ---------------------------------------------------------------------------
+# Packed narrow-width serving variant
+#
+# The 128-wide kernel is matmul-bound at the chip's bf16 MXU rate, so
+# the only remaining throughput lever is fewer MACs per sample. A
+# width-W field (W in {64, 32}; models/fused_tiny_nerf.TinyFieldConfig
+# width) runs k = 128 // W SAMPLES PER LANE ROW with block-diagonal
+# weights: the matmuls stay (rows, 128) @ (128, 128) — full MXU
+# utilization — while FLOP/ray drops by k. Head layout per lane group g:
+# col 4g = raw sigma, cols 4g+1..4g+3 = rgb logits; compositing walks
+# the k samples of a row sequentially (transmittance order preserved),
+# accumulating each group's rgb into its own lanes with a per-lane
+# masked weight, and the caller sums the k lane groups outside.
+# Quality is gated like every renderer change: >= 39 dB PSNR on the
+# sphere fit THROUGH this kernel (benchmarks/nerf_quality_sphere.py
+# --width W).
+# ---------------------------------------------------------------------------
+
+
+def pack_field_params(params, width: int):
+    """Block-diagonal 128x128 packing of width-W MLP weights.
+
+    w1/w2 go plain block-diagonal; w3 is packed so lane group g's head
+    lands in cols 4g..4g+3 (sigma, r, g, b) — low lanes, so the kernel
+    only ever lane-slices at static offsets < 4k.
+    """
+    k = 128 // width
+    if width * k != 128 or 4 * k > width:
+        raise ValueError(f"unsupported pack width {width}")
+    w1 = jnp.asarray(params["w1"])
+    w2 = jnp.asarray(params["w2"])
+    w3 = jnp.asarray(params["w3"])
+    w1p = jnp.zeros((128, 128), w1.dtype)
+    w2p = jnp.zeros((128, 128), w1.dtype)
+    w3p = jnp.zeros((128, 128), w1.dtype)
+    for g in range(k):
+        sl = slice(g * width, (g + 1) * width)
+        w1p = w1p.at[sl, sl].set(w1)
+        w2p = w2p.at[sl, sl].set(w2)
+        w3p = w3p.at[sl, 4 * g:4 * g + 4].set(w3[:, 0:4])
+    return w1p, w2p, w3p
+
+
+def _kernel_packed(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref,
+                   w2_ref, w3_ref, out_ref, depth_ref, enc_scr, h_scr,
+                   head_scr, rgb_scr, dep_scr, tau_scr, *, n_rows,
+                   s_chunk, pack, dt, near, block, early_stop_eps):
+    """k-packed twin of ``_kernel``: each lane row carries ``pack``
+    consecutive samples (group g in lanes gW..(g+1)W-1). The encoding
+    recurrence advances by pack*dt per row (per-group phase offsets are
+    folded into oe by the caller).
+
+    Compositing is fully VECTORIZED — no per-sample (R, 1) recursion.
+    Once the main matmuls halve (packing), the sequential scalar
+    transmittance chain becomes the cap (measured: w64 15.5M ~= w128
+    14.4M rays/s). Instead, per chunk of S = s_chunk*pack samples:
+
+      1. tiny selection matmuls gather each row block's sigma lanes
+         (4g) into an (R, S) sample-major layout and the rgb logits
+         into (R, 3S);
+      2. the exclusive transmittance prefix is ONE (R, S) @ (S, S)
+         strictly-upper-triangular matmul in optical-depth (log) space
+         — tau_j = sum_{i<j} sigma_i*dt — carried across chunks as a
+         single (R, 1) accumulator (tau_scr);
+      3. sample weights come from two full-width exps:
+         w_j = exp(-(tau+csum_j)) - exp(-(tau+csum_j+sig_j))
+         == T_j * alpha_j exactly (in exact arithmetic) — the alpha
+         recursion telescopes;
+      4. rgb = (sigmoid(rgb_logits) * w_repeated) @ D accumulates every
+         sample of the chunk into output lanes 0..2 with one matmul
+         (D sums the S samples per channel), depth likewise via
+         (R, S) @ (S, 1).
+
+    The extra selection matmuls cost ~20% of the main-MLP FLOP (they
+    run over the bf16 head scratch); in exchange every transcendental
+    and every compositing op is full-width or (R, S)-wide.
+    """
+    jitter = jit_ref[0, 0]
+    bi = pl.program_id(0)
+    oe = oe_ref[...]
+    de = de_ref[...]
+    R = block
+    S = s_chunk * pack
+    mm = enc_scr.dtype
+
+    rgb_scr[...] = jnp.zeros((R, HID), jnp.float32)
+    dep_scr[...] = jnp.zeros((R, 1), jnp.float32)
+    tau_scr[...] = jnp.zeros((R, 1), jnp.float32)  # accumulated optical depth
+    # any-ray-live threshold in tau space: T = exp(-tau) > eps
+    tau_cut = (np.inf if early_stop_eps <= 0.0
+               else -float(np.log(early_stop_eps)))
+
+    df = df_ref[...].astype(jnp.float32)
+    df_all = jnp.broadcast_to(df[None], (s_chunk, block, HID)).reshape(
+        s_chunk * block, HID)
+    # rotation step per packed row = pack samples
+    sd = jnp.sin(pack * dt * de)
+    cd = jnp.cos(pack * dt * de)
+
+    # --- constant selection matrices, built from iota comparisons
+    # (pallas_call rejects captured host arrays; iota-built constants
+    # trace into the kernel and Mosaic folds them) ---
+    def _iota2(rows, cols):
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        q = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return r, q
+
+    # SEL[s]: (HID, S) head-lane 4g -> sample lane s*pack+g
+    # CSEL[s]: (HID, 3S) head-lane 4g+1+c -> lane 3*(s*pack+g)+c
+    sel, csel = [], []
+    for s in range(s_chunk):
+        r, q = _iota2(HID, S)
+        g = q - s * pack
+        sel.append(((g >= 0) & (g < pack) & (r == 4 * g)).astype(mm))
+        r, q = _iota2(HID, 3 * S)
+        j, cch = q // 3, q % 3
+        g = j - s * pack
+        csel.append(((g >= 0) & (g < pack)
+                     & (r == 4 * g + 1 + cch)).astype(mm))
+    # strictly-upper-triangular prefix: csum[:, j] = sum_{i<j} sig[:, i]
+    r, q = _iota2(S, S)
+    ut = (r < q).astype(jnp.float32)
+    # repeat each sample weight into its 3 channel lanes
+    r, q = _iota2(S, 3 * S)
+    rep = (r == q // 3).astype(jnp.float32)
+    # sum channel c of every sample into output lane c
+    r, q = _iota2(3 * S, HID)
+    dmat = (q == r % 3).astype(jnp.float32)
+    ones_s = jnp.ones((S, 1), jnp.float32)
+
+    for ci in range(n_rows // s_chunk):
+        live = flag_ref[bi, ci] != 0
+        if early_stop_eps > 0.0 and ci > 0:
+            live = live & (jnp.min(tau_scr[...]) < tau_cut)
+
+        @pl.when(live)
+        def _(ci=ci):
+            # first sample index of this chunk's first row
+            j0 = ci * S
+            t0 = near + (j0 + jitter) * dt
+            u = jnp.sin(oe + t0 * de)
+            v = jnp.cos(oe + t0 * de)
+            for s in range(s_chunk):
+                enc_scr[pl.ds(s * R, R), :] = u.astype(mm)
+                un = u * cd + v * sd
+                v = v * cd - u * sd
+                u = un
+
+            h_scr[...] = jnp.maximum(
+                jnp.dot(enc_scr[...], w1_ref[...],
+                        preferred_element_type=jnp.float32), 0.0
+            ).astype(mm)
+            h2 = jnp.dot(h_scr[...], w2_ref[...],
+                         preferred_element_type=jnp.float32)
+            h_scr[...] = jnp.maximum(h2 + df_all, 0.0).astype(mm)
+            head_scr[...] = jnp.dot(
+                h_scr[...], w3_ref[...],
+                preferred_element_type=jnp.float32).astype(mm)
+
+            # gather sigma -> (R, S) and rgb logits -> (R, 3S)
+            raw = jnp.zeros((R, S), jnp.float32)
+            rgbl = jnp.zeros((R, 3 * S), jnp.float32)
+            for s in range(s_chunk):
+                row = head_scr[pl.ds(s * R, R), :]
+                raw = raw + jnp.dot(row, sel[s],
+                                    preferred_element_type=jnp.float32)
+                rgbl = rgbl + jnp.dot(row, csel[s],
+                                      preferred_element_type=jnp.float32)
+            sig = jnp.maximum(raw, 0.0) * dt
+
+            tau = tau_scr[...]
+            csum = jnp.dot(sig, ut, preferred_element_type=jnp.float32)
+            e1 = jnp.exp(-(csum + tau))          # T before sample j
+            e2 = e1 * jnp.exp(-sig)              # T after sample j
+            w = e1 - e2                          # == T_j * alpha_j
+
+            # depth: sum_j w_j t_j with t_j = near + (j0+j+jitter)*dt
+            jvec = jax.lax.broadcasted_iota(jnp.float32, (1, S), 1)
+            tvec = near + (j0 + jvec + jitter) * dt
+            dep_scr[...] = dep_scr[...] + jnp.dot(
+                w * tvec, ones_s, preferred_element_type=jnp.float32)
+            tau_scr[...] = tau + jnp.dot(
+                sig, ones_s, preferred_element_type=jnp.float32)
+
+            # rgb: weight each sample's sigmoid'd channels, sum into
+            # output lanes 0..2 with one matmul
+            wrep = jnp.dot(w, rep, preferred_element_type=jnp.float32)
+            p = jax.nn.sigmoid(rgbl) * wrep
+            rgb_scr[...] = rgb_scr[...] + jnp.dot(
+                p, dmat, preferred_element_type=jnp.float32)
+
+    out_ref[...] = rgb_scr[...]
+    depth_ref[...] = jnp.broadcast_to(dep_scr[...], (R, HID))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n_samples", "near", "far", "block",
+                              "s_chunk", "interpret", "early_stop_eps")
+)
+def render_fused_packed(
+    oe: jnp.ndarray,
+    de: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    w3: jnp.ndarray,
+    df: jnp.ndarray | None = None,
+    jitter: jnp.ndarray | float = 0.5,
+    *,
+    width: int,
+    n_samples: int = 32,
+    near: float = 2.0,
+    far: float = 6.0,
+    block: int = 512,
+    s_chunk: int = 8,
+    flags: jnp.ndarray | None = None,
+    interpret: bool = False,
+    early_stop_eps: float = 1e-3,
+):
+    """Render width-W encoded rays (oe/de/df are (N, W)) with k = 128//W
+    samples packed per lane row. w1/w2/w3 are the UNPACKED (W, W)
+    weights; packing happens here (cheap, jitted). ``s_chunk`` counts
+    packed rows, so one chunk covers s_chunk*k samples; ``flags`` (if
+    given) must be (n_blocks, n_rows // s_chunk) built at that chunk
+    granularity. Returns (rgb (N, 3), depth (N,))."""
+    N, W = oe.shape
+    if W != width:
+        raise ValueError(f"oe width {W} != field width {width}")
+    pack = 128 // width
+    if n_samples % (pack * s_chunk):
+        raise ValueError(
+            f"n_samples={n_samples} not divisible by pack*s_chunk="
+            f"{pack * s_chunk}")
+    n_rows = n_samples // pack
+    dt = (far - near) / n_samples
+    if df is None:
+        df = jnp.zeros_like(oe)
+
+    # fold per-group sample phase into oe: group g sees t + g*dt
+    oe_pk = jnp.concatenate([oe + (g * dt) * de for g in range(pack)],
+                            axis=1)
+    de_pk = jnp.concatenate([de] * pack, axis=1)
+    df_pk = jnp.concatenate([df] * pack, axis=1)
+    w1p, w2p, w3p = pack_field_params(
+        {"w1": w1, "w2": w2, "w3": w3}, width)
+
+    pad = (-N) % block
+    oe_pk = jnp.pad(oe_pk, ((0, pad), (0, 0)))
+    de_pk = jnp.pad(de_pk, ((0, pad), (0, 0)))
+    df_pk = jnp.pad(df_pk, ((0, pad), (0, 0)))
+    n_blocks = (N + pad) // block
+    n_chunks = n_rows // s_chunk
+    if flags is None:
+        flags = jnp.ones((n_blocks, n_chunks), jnp.int32)
+
+    kernel = functools.partial(
+        _kernel_packed, n_rows=n_rows, s_chunk=s_chunk, pack=pack,
+        dt=float(dt), near=near, block=block,
+        early_stop_eps=float(early_stop_eps),
+    )
+    jit_arr = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
+    rgb_w, depth_w = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_blocks, n_chunks), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ENC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, HID), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, HID), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
+            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block * s_chunk, ENC), w1p.dtype),
+            pltpu.VMEM((block * s_chunk, HID), w1p.dtype),
+            # head kept at the weight dtype: the selection matmuls that
+            # gather sigma/rgb lanes read it as an MXU operand
+            pltpu.VMEM((block * s_chunk, HID), w1p.dtype),
+            pltpu.VMEM((block, HID), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                16 * 2**20,
+                2 * (block * s_chunk * (2 * ENC * w1p.dtype.itemsize
+                                        + HID * 4)
+                     + 10 * block * (ENC + HID) * 4)),
+        ),
+        interpret=interpret,
+    )(jit_arr, jnp.asarray(flags, jnp.int32), oe_pk, de_pk, df_pk,
+      w1p, w2p, w3p)
+
+    # the in-kernel D matmul already sums every sample into lanes 0..2
+    rgb = rgb_w[:N, 0:3]
+    depth = depth_w[:N, 0]
+    return rgb, depth

@@ -31,18 +31,27 @@ class TinyFieldConfig:
     far: float = 6.0
     n_samples: int = 32
     bound: float = 4.0  # frequency base scale ~ scene extent
+    # Field width (ENC == HID == width). 128 is the production default;
+    # 64/32 are the packed serving widths (kernels/render_pallas.
+    # render_fused_packed runs k = 128//width samples per lane row, so
+    # matmul FLOP/ray scales with width at constant MXU utilization).
+    width: int = 128
 
 
 def make_encoding(config: TinyFieldConfig):
-    """(A (3, 128), c (128,)) with sin(x @ A + c) the feature map.
+    """(A (3, W), c (W,)) with sin(x @ A + c) the feature map, W the
+    config width.
 
     Features: sin/cos of 2^f * x_d / bound for f < num_freqs, d < 3
     (2*3*F columns), one constant-one bias lane (c = pi/2, A col 0), the
-    rest dead zeros.
+    rest dead zeros. num_freqs is clamped to what the width can hold
+    ((W-1)//6), so narrow fields automatically drop the highest
+    frequencies.
     """
-    F = config.num_freqs
-    A = np.zeros((3, ENC), np.float32)
-    c = np.zeros((ENC,), np.float32)
+    W = config.width
+    F = min(config.num_freqs, (W - 1) // 6)
+    A = np.zeros((3, W), np.float32)
+    c = np.zeros((W,), np.float32)
     c[0] = np.pi / 2  # sin(pi/2) = 1: constant bias lane
     col = 1
     for d in range(3):
@@ -53,7 +62,7 @@ def make_encoding(config: TinyFieldConfig):
             A[d, col] = freq  # cos via phase
             c[col] = np.pi / 2
             col += 1
-    assert col <= ENC
+    assert col <= W
     return jnp.asarray(A), jnp.asarray(c)
 
 
@@ -65,13 +74,13 @@ def encode_rays(origins, directions, A, c):
     return oe, de
 
 
-def init_params(key, scale: float = 0.1):
+def init_params(key, scale: float = 0.1, width: int = ENC):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "w1": jax.random.normal(k1, (ENC, HID)) * scale,
-        "w2": jax.random.normal(k2, (HID, HID)) * scale,
-        "w3": jax.random.normal(k3, (HID, HID)) * scale,
-        "wd": jax.random.normal(k4, (ENC, HID)) * scale,
+        "w1": jax.random.normal(k1, (width, width)) * scale,
+        "w2": jax.random.normal(k2, (width, width)) * scale,
+        "w3": jax.random.normal(k3, (width, width)) * scale,
+        "wd": jax.random.normal(k4, (width, width)) * scale,
     }
 
 
@@ -92,7 +101,7 @@ def render_xla(params, oe, de, config: TinyFieldConfig, jitter: float = 0.5,
     depth_acc = jnp.zeros((R,))
     trans = jnp.ones((R,))
     acc = jnp.zeros((R,))
-    df = jnp.zeros((R, HID)) if df is None else df
+    df = jnp.zeros((R, params["w2"].shape[1])) if df is None else df
     for s in range(cfg.n_samples):
         t_s = cfg.near + (s + jitter) * dt
         enc = jnp.sin(oe + t_s * de)
@@ -137,5 +146,29 @@ def render_fused_rays(params, origins, directions, config: TinyFieldConfig,
         jitter=jitter, n_samples=config.n_samples,
         near=config.near, far=config.far, block=block, s_chunk=s_chunk,
         flags=flags, interpret=interpret, early_stop_eps=early_stop_eps,
+    )
+    return {"rgb": rgb, "depth": depth}
+
+
+def render_fused_rays_packed(params, origins, directions,
+                             config: TinyFieldConfig, A=None, c=None,
+                             jitter: float = 0.5, block: int = 512,
+                             s_chunk: int = 8, interpret: bool = False,
+                             early_stop_eps: float = 1e-3):
+    """Serving path for narrow fields (config.width in {64, 32}):
+    encode + k-packed fused Pallas render (k = 128 // width samples per
+    lane row). Numerically the same field as ``render_xla`` with these
+    params; see kernels/render_pallas.render_fused_packed."""
+    from spnerf_tpu.kernels.render_pallas import render_fused_packed
+
+    if A is None or c is None:
+        A, c = make_encoding(config)
+    oe, de = encode_rays(origins, directions, A, c)
+    df = direction_features(params, directions, A, c)
+    rgb, depth = render_fused_packed(
+        oe, de, params["w1"], params["w2"], params["w3"], df,
+        jitter=jitter, width=config.width, n_samples=config.n_samples,
+        near=config.near, far=config.far, block=block, s_chunk=s_chunk,
+        interpret=interpret, early_stop_eps=early_stop_eps,
     )
     return {"rgb": rgb, "depth": depth}

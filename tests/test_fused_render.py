@@ -305,3 +305,49 @@ def test_int8_render_matches_xla(setup):
                                atol=2.5e-2)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref["depth"]),
                                atol=6e-2)
+
+
+@pytest.mark.parametrize("width,s_chunk", [(64, 4), (64, 2), (32, 2)])
+def test_packed_matches_xla(width, s_chunk):
+    """k-packed narrow-width kernel == XLA reference for the same
+    width-W field (kernels/render_pallas.render_fused_packed)."""
+    cfg = TinyFieldConfig(n_samples=16, width=width)
+    params = init_params(jax.random.PRNGKey(0), width=width)
+    d = jax.random.normal(jax.random.PRNGKey(1), (40, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jax.random.normal(jax.random.PRNGKey(2), (40, 3)) * 0.1
+    A, c = make_encoding(cfg)
+    oe, de = encode_rays(o, d, A, c)
+    df = direction_features(params, d, A, c)
+    ref = render_xla(params, oe, de, cfg, df=df)
+    from spnerf_tpu.models.fused_tiny_nerf import render_fused_rays_packed
+
+    got = render_fused_rays_packed(params, o, d, cfg, s_chunk=s_chunk,
+                                   interpret=True, early_stop_eps=0.0)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), atol=5e-3)
+
+
+def test_packed_early_stop_matches_dense():
+    """Transmittance early-out in the packed kernel changes outputs by
+    <= eps (occlusion culling correctness, mirrors the 128-wide test)."""
+    cfg = TinyFieldConfig(n_samples=16, width=64)
+    params = init_params(jax.random.PRNGKey(5), width=64)
+    # a hot field so rays saturate early: bias sigma up via w3 col 0
+    params = dict(params)
+    params["w3"] = params["w3"].at[:, 0].add(2.0)
+    d = jax.random.normal(jax.random.PRNGKey(6), (24, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.zeros((24, 3))
+    from spnerf_tpu.models.fused_tiny_nerf import render_fused_rays_packed
+
+    dense = render_fused_rays_packed(params, o, d, cfg, s_chunk=2,
+                                     interpret=True, early_stop_eps=0.0)
+    fast = render_fused_rays_packed(params, o, d, cfg, s_chunk=2,
+                                    interpret=True, early_stop_eps=1e-3)
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(dense["rgb"]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(dense["depth"]), atol=2e-2)
