@@ -104,9 +104,13 @@ def build_inference(config: SuperPointConfig, variables, calib, mode,
     def infer(image):
         if fused_tail:
             out = sp(image, softmax=True)
+            # compact=False: skip the exact top-k compaction sort — all
+            # 1024 candidates in rank order, suppressed ones masked by
+            # `valid` (same keypoint set; 1.4 ms at b64, micro_tail.py)
             pts, scores, valid = detect_from_probs_padded(
                 out["probs_padded"], cfg.grid_size, min_prob=cfg.det_thresh,
                 size=cfg.nms, top_k=TOP_K, num_candidates=1024,
+                compact=False,
             )
         else:
             out = sp(image)

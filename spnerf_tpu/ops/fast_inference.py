@@ -90,7 +90,8 @@ def detect_from_logits(
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "size", "iou",
-                                             "num_candidates", "top_k"))
+                                             "num_candidates", "top_k",
+                                             "compact"))
 def detect_from_probs_padded(
     probs: jnp.ndarray,
     grid_size: int = 8,
@@ -99,33 +100,45 @@ def detect_from_probs_padded(
     iou: float = 0.1,
     num_candidates: int = 1024,
     top_k: int = 1000,
+    compact: bool = True,
 ):
     """Keypoints from lane-padded cell probabilities (B, Hc, Wc, L).
 
     Consumes the output of ``head_pallas(..., softmax_lanes=65)``: lanes
     [0, 64) hold the post-softmax within-cell probabilities (dustbin
     already dropped, reference heads.py:25-29), lanes >= 64 are exactly
-    zero. ``approx_max_k`` runs directly over the padded layout — the
-    zero pad lanes can never outrank a (strictly positive) softmax
-    probability, so no slice/relayout pass is needed. Same keypoints as
-    ``detect_from_logits`` up to the serving dtype rounding.
+    zero. The pad lanes are sliced off before ``approx_max_k`` — the
+    slice is a cheap bf16 copy while the partial sort scales with its
+    input width (measured 3.80 vs 4.28 ms at b64 480x640,
+    benchmarks/micro_tail.py). Same keypoints as ``detect_from_logits``
+    up to the serving dtype rounding.
+
+    ``compact=False`` skips the exact top-k compaction pass: all C
+    candidates come back in approx_max_k rank order with suppressed /
+    sub-threshold entries masked out by ``valid`` (a superset of the
+    compacted output whenever more than ``top_k`` survive NMS; another
+    1.4 ms at b64). Downstream consumers that mask by ``valid`` — the
+    descriptor samplers, the exports' score-threshold selection — see
+    the same keypoint set.
     """
     B, Hc, Wc, L = probs.shape
     g2 = grid_size * grid_size
-    flat = probs.reshape(B, -1)  # ranked in the serving dtype (bf16 ok)
+    flat = probs[..., :g2].reshape(B, -1)  # ranked in serving dtype
     C = min(num_candidates, flat.shape[1])
     scores, idx = jax.lax.approx_max_k(flat, C, recall_target=0.95)
     scores = scores.astype(jnp.float32)
-    cell = idx // L
-    within = idx % L  # < g2 for any candidate that can rank
+    cell = idx // g2
+    within = idx % g2
     ys = (cell // Wc * grid_size + within // grid_size).astype(jnp.float32)
     xs = (cell % Wc * grid_size + within % grid_size).astype(jnp.float32)
+    if not compact:
+        return _suppress_only(ys, xs, scores, min_prob, size, iou)
     return _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k)
 
 
-def _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k):
-    """Shared candidate NMS + top-k tail (see ``detect_keypoints``)."""
-    C = scores.shape[1]
+def _candidate_keep(ys, xs, scores, min_prob, size, iou):
+    """(B, C) keep mask: candidate survives iff above threshold and no
+    strictly higher-scored candidate overlaps it past the IoU bound."""
     cand_valid = scores >= min_prob
     dy = jnp.abs(ys[:, :, None] - ys[:, None, :])
     dx = jnp.abs(xs[:, :, None] - xs[:, None, :])
@@ -134,7 +147,21 @@ def _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k):
     overlap = inter / union > iou
     stronger = scores[:, None, :] > scores[:, :, None]
     suppressed = jnp.any(overlap & stronger & cand_valid[:, None, :], axis=-1)
-    keep = cand_valid & ~suppressed
+    return cand_valid & ~suppressed
+
+
+def _suppress_only(ys, xs, scores, min_prob, size, iou):
+    """Candidate NMS without the compaction sort: all C candidates in
+    approx_max_k rank order, masked by ``valid``."""
+    keep = _candidate_keep(ys, xs, scores, min_prob, size, iou)
+    pts = jnp.stack([ys, xs], axis=-1)
+    return pts, jnp.where(keep, scores, 0.0), keep
+
+
+def _suppress_and_select(ys, xs, scores, min_prob, size, iou, top_k):
+    """Shared candidate NMS + top-k tail (see ``detect_keypoints``)."""
+    C = scores.shape[1]
+    keep = _candidate_keep(ys, xs, scores, min_prob, size, iou)
     kept_scores = jnp.where(keep, scores, -jnp.inf)
     k = min(top_k, C)
     final_scores, sel = jax.lax.top_k(kept_scores, k)

@@ -144,3 +144,28 @@ def test_serving_fused_softmax_pipeline(served):
         assert len(set_p & set_l) / n >= 0.8, (set_p, set_l)
     np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_l),
                                atol=2e-2)
+
+
+def test_detect_compact_false_same_keypoint_set(rng):
+    """compact=False returns the identical valid keypoint set (in
+    approx_max_k rank order) as the compacted top-k output whenever
+    fewer than top_k candidates survive NMS."""
+    logits = jnp.asarray(rng.standard_normal((2, 8, 10, 65)) * 3,
+                         jnp.float32)
+    probs = jax.nn.softmax(logits, -1)[..., :64]
+    padded = jnp.pad(probs, ((0, 0),) * 3 + ((0, 64),))
+    pts_c, sc_c, va_c = detect_from_probs_padded(
+        padded, 8, min_prob=0.015, top_k=512, num_candidates=512)
+    pts_m, sc_m, va_m = detect_from_probs_padded(
+        padded, 8, min_prob=0.015, top_k=512, num_candidates=512,
+        compact=False)
+    for b in range(2):
+        ref = {(float(y), float(x), round(float(s), 5))
+               for (y, x), s, v in zip(np.asarray(pts_c[b]),
+                                       np.asarray(sc_c[b]),
+                                       np.asarray(va_c[b])) if v}
+        got = {(float(y), float(x), round(float(s), 5))
+               for (y, x), s, v in zip(np.asarray(pts_m[b]),
+                                       np.asarray(sc_m[b]),
+                                       np.asarray(va_m[b])) if v}
+        assert got == ref and len(ref) > 0
