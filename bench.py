@@ -13,12 +13,16 @@ banded-Toeplitz conv1+conv2+pool entry kernel, fused tail kernels
 (blocks 7-8 + each head incl. the in-kernel softmax decode,
 kernels/tail_fused_pallas.py), candidate extraction straight off the
 padded probabilities (ops/fast_inference.detect_from_probs_padded),
-candidate NMS + top-K, and bicubic descriptor sampling AT keypoints as
-one combined-weight MXU matmul (sample_descriptors_onehot) — the TPU-native
-equivalent of the reference's dense x8 upsample path
+candidate NMS masking WITHOUT top-k compaction (top_k == num_candidates
+== 1024, so the skipped compaction sort is provably a no-op: suppressed
+candidates are masked by `valid`), and bicubic descriptor sampling AT
+keypoints as one combined-weight MXU matmul (sample_descriptors_onehot)
+— the TPU-native equivalent of the reference's dense x8 upsample path
 (reference heads.py:17-68).
 
-Set SPNERF_BENCH_MODE=bf16 to measure the bf16 kernel stack instead.
+The headline is the int8 serving stack; the same capture also times the
+bf16 stack (quality-assured labels) and reports it as "bf16_fps".
+Set SPNERF_BENCH_MODE=bf16 to flip which one is the headline.
 """
 
 import json
@@ -89,7 +93,10 @@ from spnerf_tpu.ops.serving import ServingSuperPoint
 
 H, W = 480, 640
 BATCH = int(os.environ.get("SPNERF_BENCH_BATCH", "64"))
-TOP_K = 1000
+# top_k == num_candidates: the fused-tail path skips the top-k
+# compaction sort (compact=False), which is only contract-preserving
+# when no candidate can be dropped by compaction (ADVICE r4)
+TOP_K = 1024
 BASELINE_FPS = 5000.0
 
 
@@ -104,12 +111,13 @@ def build_inference(config: SuperPointConfig, variables, calib, mode,
     def infer(image):
         if fused_tail:
             out = sp(image, softmax=True)
-            # compact=False: skip the exact top-k compaction sort — all
-            # 1024 candidates in rank order, suppressed ones masked by
-            # `valid` (same keypoint set; 1.4 ms at b64, micro_tail.py)
+            # compact=False: skip the exact top-k compaction sort — with
+            # top_k == num_candidates the sort is a pure permutation, so
+            # the (point, score, valid) SET is identical by construction
+            # (saves 1.4 ms at b64, micro_tail.py)
             pts, scores, valid = detect_from_probs_padded(
                 out["probs_padded"], cfg.grid_size, min_prob=cfg.det_thresh,
-                size=cfg.nms, top_k=TOP_K, num_candidates=1024,
+                size=cfg.nms, top_k=TOP_K, num_candidates=TOP_K,
                 compact=False,
             )
         else:
@@ -126,14 +134,9 @@ def build_inference(config: SuperPointConfig, variables, calib, mode,
     return infer
 
 
-def main():
-    mode = os.environ.get("SPNERF_BENCH_MODE", "int8")
-    cfg = SuperPointConfig(model_name="superpoint", det_thresh=0.015)
-    _, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, H, W, 1))
-
+def measure(mode, cfg, variables, x):
     import numpy as np
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, H, W, 1))
     want_mid = os.environ.get("SPNERF_BENCH_FUSED_MID", "1") == "1"
     # degrade through the fusion matrix if a fused kernel fails to
     # compile on this backend — a bench number always lands
@@ -151,8 +154,9 @@ def main():
         except Exception as e:
             # never silently bench a less-fused graph: say which config
             # failed and why so round-over-round numbers stay comparable
-            print(f"[bench] fused_mid={fm} fused_tail={ft} failed to "
-                  f"compile/run: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"[bench] mode={mode} fused_mid={fm} fused_tail={ft} "
+                  f"failed to compile/run: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             if i == len(plan) - 1:
                 raise
 
@@ -164,9 +168,17 @@ def main():
     # tunneled platform
     np.asarray(out[1])
     dt = time.perf_counter() - t0
+    return BATCH * n_iters / dt, fm, ft
 
-    fps = BATCH * n_iters / dt
-    print(json.dumps({
+
+def main():
+    mode = os.environ.get("SPNERF_BENCH_MODE", "int8")
+    cfg = SuperPointConfig(model_name="superpoint", det_thresh=0.015)
+    _, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (1, H, W, 1))
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, H, W, 1))
+    fps, fm, ft = measure(mode, cfg, variables, x)
+    record = {
         "metric": "superpoint_inference_480x640",
         "value": round(fps, 2),
         "unit": "frames/sec",
@@ -174,7 +186,18 @@ def main():
         "mode": mode,
         "fused_mid": fm,
         "fused_tail": ft,
-    }))
+    }
+    # co-report the other precision (VERDICT r4 #3): int8 is the speed
+    # headline, bf16 the quality-assured stack — one capture shows both
+    other = "bf16" if mode == "int8" else "int8"
+    if os.environ.get("SPNERF_BENCH_COREPORT", "1") == "1":
+        try:
+            other_fps, _, _ = measure(other, cfg, variables, x)
+            record[f"{other}_fps"] = round(other_fps, 2)
+        except Exception as e:
+            print(f"[bench] co-report mode={other} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

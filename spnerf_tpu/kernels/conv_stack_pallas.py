@@ -41,6 +41,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _vmem_limit(in_bytes: int, out_bytes: int, acc_bytes: int,
+                const_bytes: int = 0) -> int:
+    """Scoped-vmem budget for a banded conv pallas_call: pipelined
+    in/out blocks are double-buffered, the f32 accumulator and constants
+    are not; 2 MB headroom for Mosaic temporaries. Mosaic's default
+    16 MB cap rejects the bf16 stack at 480x640 (measured: 16.43 MB
+    needed at hb=32, Wp=320, C=128) — same failure class as the
+    renderer's round-4 block-size limit (docs/PERF.md)."""
+    need = 2 * (in_bytes + out_bytes) + 2 * acc_bytes + const_bytes \
+        + 4 * 2**20
+    return max(16 * 2**20, need)
+
+
 def _pick_hb(H: int, W: int, Cout: int, cap: int = 48) -> int:
     """Largest divisor of H (<= cap) whose f32 accumulator fits ~5 MB of
     VMEM; the round-2 hb sweep (/tmp-era micro-bench, see PERF) showed
@@ -198,6 +211,12 @@ def conv3x3_pallas(
         out_specs=pl.BlockSpec((1, 1, ho, wo, Cout), lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nb, ho, wo, Cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                (hb + 2) * (W + 2) * Cin * x.dtype.itemsize,
+                ho * wo * Cout * jnp.dtype(out_dtype).itemsize,
+                hb * (W + 2) * Cout * 4,
+                9 * Cin * Cout * w.dtype.itemsize)),
         interpret=interpret,
     )(core, tops, bots, w.reshape(9, Cin, Cout),
       mult.reshape(1, Cout).astype(jnp.float32),
@@ -337,6 +356,12 @@ def packed_conv3x3_pallas(
         out_specs=pl.BlockSpec((1, 1, ho, wo, Co2), lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nb, ho, wo, Co2), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                (hb + 2) * (Wp + 2) * C2 * xp.dtype.itemsize,
+                ho * wo * Co2 * jnp.dtype(out_dtype).itemsize,
+                hb * (Wp + 2) * Co2 * 4,
+                (wc.size + ws.size) * wc.dtype.itemsize)),
         interpret=interpret,
     )(core, tops, bots, wc, ws, m2, b2)
     return out.reshape(B, nb * ho, wo, Co2)
@@ -395,6 +420,12 @@ def dot_bias_act_pallas(
         out_specs=pl.BlockSpec((1, rb, Cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, rb, Cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                rb * Cin * x.dtype.itemsize,
+                rb * Cout * jnp.dtype(out_dtype).itemsize,
+                rb * Cout * 4,
+                Cin * Cout * w.dtype.itemsize)),
         interpret=interpret,
     )(x.reshape(nb, rb, Cin), w,
       mult.reshape(1, Cout).astype(jnp.float32),

@@ -48,3 +48,22 @@ def test_unit_norm():
     out = sample_descriptors_fused(desc, pts, 8, normalize=True, block_k=16)
     norms = np.linalg.norm(np.asarray(out), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def test_axis_weights_pin_against_xla_helper():
+    """_axis_weights (in-kernel broadcast construction) must stay in
+    lockstep with ops/fast_inference._axis_weight_matrix (one-hot sum):
+    the two re-derive the same Keys a=-0.75 taps + border clamping from
+    independent formulations, and parity tests only catch drift if both
+    move together (ADVICE r4). Pin them directly, including borders."""
+    from spnerf_tpu.kernels.desc_sample_pallas import _axis_weights
+    from spnerf_tpu.ops.fast_inference import _axis_weight_matrix
+
+    n, g = 17, 8
+    coord = jnp.asarray(
+        [0.0, 1.0, 3.5, 4.0, 63.9, 100.0, n * g - 1.0, 2.25, 57.125],
+        jnp.float32)
+    ref = _axis_weight_matrix(coord, n, g)
+    got = _axis_weights(coord[:, None], n, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

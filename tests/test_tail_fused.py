@@ -169,3 +169,29 @@ def test_detect_compact_false_same_keypoint_set(rng):
                                        np.asarray(sc_m[b]),
                                        np.asarray(va_m[b])) if v}
         assert got == ref and len(ref) > 0
+
+
+def test_detect_compact_false_superset_when_survivors_exceed_topk(rng):
+    """The documented divergence case (ADVICE r4): with more than top_k
+    NMS survivors, compact=False returns up to num_candidates valid
+    keypoints — a SUPERSET that must contain the compacted output's
+    top-k set."""
+    logits = jnp.asarray(rng.standard_normal((1, 8, 10, 65)) * 3,
+                         jnp.float32)
+    probs = jax.nn.softmax(logits, -1)[..., :64]
+    padded = jnp.pad(probs, ((0, 0),) * 3 + ((0, 64),))
+    # tiny threshold + top_k << candidates -> survivors exceed top_k
+    pts_c, sc_c, va_c = detect_from_probs_padded(
+        padded, 8, min_prob=1e-6, top_k=16, num_candidates=64, size=1)
+    pts_m, sc_m, va_m = detect_from_probs_padded(
+        padded, 8, min_prob=1e-6, top_k=16, num_candidates=64, size=1,
+        compact=False)
+    compacted = {(float(y), float(x))
+                 for (y, x), v in zip(np.asarray(pts_c[0]),
+                                      np.asarray(va_c[0])) if v}
+    full = {(float(y), float(x))
+            for (y, x), v in zip(np.asarray(pts_m[0]),
+                                 np.asarray(va_m[0])) if v}
+    assert len(compacted) == 16, len(compacted)
+    assert len(full) > 16, len(full)  # the divergence actually happens
+    assert compacted <= full
