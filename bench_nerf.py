@@ -2,17 +2,19 @@
 
 Target (BASELINE.md): >= 50M rays/sec/chip on v5e.
 
-Headline (the LAST printed line): the fused Pallas serving renderer
-(kernels/render_pallas.py) in its production mode — bf16,
-transmittance early-stop, block=1024/s_chunk=16 — positional encoding,
-MLP and alpha compositing in one kernel (tiny Fourier-feature field,
-32 samples/ray, along-ray depth). This mode measures AT the kernel's
-bf16 MXU speed of light on the dev chip (docs/PERF.md round-4
-accounting). Also reported: dense (no early-out), occupancy
-chunk-skipping (per-frame flag build in the timed region — only pays
+Headline (the LAST printed line): the k-packed narrow-width fused
+Pallas renderer (kernels/render_pallas.render_fused_packed) at width
+32 — 4 samples per 128-lane row, single packed rgb+depth output,
+triangular-matmul transmittance prefix — quality-gated at 39.5 dB
+through the same kernel (benchmarks/nerf_quality_sphere.py --width 32).
+Round-5 capture: 25.2M rays/s vs 15.4M for the width-128 dense kernel.
+Also reported: w128 dense / early-stop (the round-4 production mode,
+at its bf16 MXU speed of light per docs/PERF.md), packed-w64,
+occupancy chunk-skipping (in-loop and cached-flag variants; only pays
 on scenes sparser than this benchmark's), and, opt-in via
 SPNERF_RENDER_INT8=1, the int8 twin (measured slower on v5e; kept for
-the record).
+the record). Falls back to w128 early-stop as headline when no gated
+narrow field is on disk.
 
 Protocol: a trained sphere field (benchmarks/data/sphere_field.npz,
 written by benchmarks/nerf_quality_sphere.py --save; quality gate
@@ -45,7 +47,10 @@ from spnerf_tpu.models.fused_tiny_nerf import (
 
 N_RAYS = int(os.environ.get("SPNERF_BENCH_NERF_RAYS", "131072"))
 BASELINE_RAYS = 50e6
-FIELD_PATH = Path(__file__).parent / "benchmarks" / "data" / "sphere_field.npz"
+# SPNERF_RENDER_FIELD selects a different trained field (e.g.
+# sphere_field_sparse.npz for the occupancy-skipping benchmark)
+FIELD_PATH = Path(__file__).parent / "benchmarks" / "data" / os.environ.get(
+    "SPNERF_RENDER_FIELD", "sphere_field.npz")
 
 
 def orbit_rays(n_rays, key):
@@ -145,6 +150,59 @@ def main():
         variants += [
             ("occupancy+early-stop", make_render(True, 1e-3)),
         ]
+        # fixed-camera serving: flags prebuilt once per (field, camera)
+        # and amortized over frames — only the render is in the timed
+        # region (VERDICT r4 #6: flag caching)
+        fl_cached = jax.block_until_ready(chunk_flags(
+            o, d, ivol, block=block, n_samples=cfg.n_samples,
+            s_chunk=s_chunk, near=cfg.near, far=cfg.far,
+            extent=float(cfg.far)))
+
+        @jax.jit
+        def render_occ_cached(oe, de, df, o, d):
+            return render_fused(
+                oe, de, params["w1"], params["w2"], params["w3"], df,
+                jitter=0.5, n_samples=cfg.n_samples, near=cfg.near,
+                far=cfg.far, block=block, s_chunk=s_chunk,
+                flags=fl_cached, early_stop_eps=1e-3)
+
+        variants += [("occupancy-cached+early-stop", render_occ_cached)]
+
+    # k-packed narrow-width serving fields (VERDICT r4 #2): trained by
+    # nerf_quality_sphere.py --width {64,32} --save, quality-gated
+    # through the SAME packed kernel (39.5 dB at both widths, round 5).
+    # Best measured configs per width (docs/PERF.md round-5 packed
+    # stage budget). packed-w32 is the PRODUCTION headline when its
+    # gated field exists: 25.2M rays/s vs 15.4M dense on this chip.
+    packed_variants = []
+    from spnerf_tpu.kernels.render_pallas import render_fused_packed
+
+    for pw, p_chunk, p_block in ((64, 16, 512), (32, 8, 2048)):
+        fp = FIELD_PATH.parent / f"sphere_field_w{pw}.npz"
+        if not fp.exists():
+            continue
+        pdata = np.load(fp)
+        pparams = {k: jnp.asarray(pdata[k], jnp.bfloat16)
+                   for k in pdata.files}
+        pcfg = TinyFieldConfig(n_samples=32, width=pw)
+        pA, pc = make_encoding(pcfg)
+        poe, pde = encode_rays(o, d, pA, pc)
+        pdf = direction_features(pparams, d, pA, pc)
+
+        def make_packed(pparams=pparams, poe=poe, pde=pde, pdf=pdf,
+                        pw=pw, p_chunk=p_chunk, p_block=p_block,
+                        pcfg=pcfg):
+            @jax.jit
+            def render(oe, de, df, o, d):
+                return render_fused_packed(
+                    poe, pde, pparams["w1"], pparams["w2"],
+                    pparams["w3"], pdf, jitter=0.5, width=pw,
+                    n_samples=pcfg.n_samples, near=pcfg.near,
+                    far=pcfg.far, block=p_block, s_chunk=p_chunk,
+                    early_stop_eps=1e-3)
+            return render
+
+        packed_variants += [(f"packed-w{pw}", make_packed())]
     if os.environ.get("SPNERF_RENDER_INT8", "0") != "0":
         from spnerf_tpu.kernels.render_pallas import quantize_field
 
@@ -154,7 +212,10 @@ def main():
                             n_samples=cfg.n_samples, near=cfg.near,
                             far=cfg.far)
         variants += [("int8+early-stop", make_render_int8(qf, False, 1e-3))]
+    # the w128 early-stop path stays last (headline) unless a gated
+    # packed field is present, in which case packed-w32/-w64 take over
     variants += [("early-stop", make_render(False, 1e-3))]
+    variants += packed_variants
 
     n_iters = 10
     for name, render in variants:

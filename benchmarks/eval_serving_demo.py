@@ -89,13 +89,34 @@ def evaluate(infer, ds, k_rep=300, k_desc=1000):
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pretrained", default=None,
+                    help="checkpoint override (e.g. demo_sp_ctl/...)")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
     config = load_config("demo/configs/eval_demo.yaml")
+    if args.pretrained:
+        config["pretrained"] = args.pretrained
     float_infer, serving_infer, ds = build_paths(config)
+    rows = []
     for tag, fn in (("float f32 graph", float_infer),
                     ("int8 Pallas serving", serving_infer)):
         rep, corr, ms, n = evaluate(fn, ds)
         print(f"{tag:20s}: repeatability {rep:.4f}  correctness {corr:.4f}"
               f"  matching_score {ms:.4f}  ({n} pairs)")
+        rows.append({"metric": "serving_requalify", "stack": tag,
+                     "pretrained": config.get("pretrained"),
+                     "repeatability": round(rep, 4),
+                     "correctness": round(corr, 4),
+                     "matching_score": round(ms, 4), "n_pairs": n})
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

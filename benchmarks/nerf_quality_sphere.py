@@ -34,25 +34,28 @@ from spnerf_tpu.models.fused_tiny_nerf import (
 )
 
 
-def sphere_scene(key, n, near=2.0, far=6.0):
-    """Rays from a radius-4 camera shell toward the unit sphere; returns
-    (origins, dirs, rgb, depth) with analytic normal-colored hits."""
+def sphere_scene(key, n, near=2.0, far=6.0, radius=1.0):
+    """Rays from a radius-4 camera shell toward a radius-``radius``
+    sphere; returns (origins, dirs, rgb, depth) with analytic
+    normal-colored hits. radius < 1 makes a genuinely SPARSE scene
+    (most sample chunks see empty space) for the occupancy-skipping
+    benchmark; aim jitter scales with the radius so rays still hit."""
     k1, k2 = jax.random.split(key)
     o = jax.random.normal(k1, (n, 3))
     o = 4.0 * o / jnp.linalg.norm(o, axis=-1, keepdims=True)
-    aim = 0.25 * jax.random.normal(k2, (n, 3))  # jitter the look-at point
+    aim = 0.25 * radius * jax.random.normal(k2, (n, 3))
     d = aim - o
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    # |o + t d|^2 = 1
+    # |o + t d|^2 = radius^2
     b = jnp.sum(o * d, axis=-1)
-    c = jnp.sum(o * o, axis=-1) - 1.0
+    c = jnp.sum(o * o, axis=-1) - radius * radius
     disc = b * b - c
     hit = disc > 0
     t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
     t = jnp.where(hit & (t > near) & (t < far), t, far)
     hit = t < far
     p = o + t[:, None] * d
-    rgb = jnp.where(hit[:, None], 0.5 * p + 0.5, 0.0)
+    rgb = jnp.where(hit[:, None], 0.5 * p / radius + 0.5, 0.0)
     return o, d, rgb, t, hit
 
 
@@ -67,13 +70,19 @@ def main(iters=1500):
     # --interpret: run the Pallas kernel in interpret mode (CPU drive of
     # the packed path; the dB gate only binds on chip)
     interpret = "--interpret" in sys.argv
+    # --radius R: scene sphere radius (default 1.0; 0.5 fabricates the
+    # sparse scene for the occupancy-skip benchmark, VERDICT r4 #6)
+    radius = 1.0
+    if "--radius" in sys.argv:
+        radius = float(sys.argv[sys.argv.index("--radius") + 1])
     cfg = TinyFieldConfig(n_samples=32, near=2.0, far=6.0, width=width)
     A, c = make_encoding(cfg)
     params = init_params(jax.random.PRNGKey(0), width=width)
     tx = optax.adam(3e-3)
     opt = tx.init(params)
 
-    o, d, rgb, t_gt, hit = sphere_scene(jax.random.PRNGKey(1), 1 << 17)
+    o, d, rgb, t_gt, hit = sphere_scene(jax.random.PRNGKey(1), 1 << 17,
+                                        radius=radius)
     oe, de = encode_rays(o, d, A, c)
 
     # sparsity prior: the sin-encoded field is unconstrained wherever no
@@ -125,6 +134,8 @@ def main(iters=1500):
     if "--save" in sys.argv:
         name = ("sphere_field.npz" if width == 128
                 else f"sphere_field_w{width}.npz")
+        if radius != 1.0:
+            name = "sphere_field_sparse.npz"
         out = Path(__file__).parent / "data" / name
         out.parent.mkdir(exist_ok=True)
         np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
@@ -135,7 +146,8 @@ def main(iters=1500):
     # BOTH, proving skipping is lossless)
     from spnerf_tpu.ops.occupancy import chunk_flags, field_integral_volume
 
-    ot, dt, rgb_t, tt, hit_t = sphere_scene(jax.random.PRNGKey(9), 1 << 16)
+    ot, dt, rgb_t, tt, hit_t = sphere_scene(jax.random.PRNGKey(9), 1 << 16,
+                                            radius=radius)
     bp = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
     if width != 128:
         # narrow field: the serving path is the k-packed kernel; the

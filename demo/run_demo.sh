@@ -55,72 +55,92 @@ run_leg() {
     sp)
         train_leg demo/configs/superpoint_demo.yaml demo_sp 50000 ;;
     eval)
-        # evaluate the latest demo_sp checkpoint (the config's 50k path
-        # may not exist if a train leg was deadline-cut)
-        it=$(latest_iter demo_sp)
+        # evaluate the latest control checkpoint (round 5: the matched-
+        # corpus control replaces the 5k-corpus demo_sp leg)
+        it=$(latest_iter demo_sp_ctl)
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
-            --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
+            --set pretrained="demo_sp_ctl/demo_sp_ctl_${it}.ckpt" \
             --mode repeatability --k-points 300 \
-            --json-out docs/evidence/quality_r4.jsonl
+            --json-out docs/evidence/quality_r5.jsonl
         python -m spnerf_tpu.eval.on_the_fly --config-path demo/configs/eval_demo.yaml \
-            --set pretrained="demo_sp/demo_sp_${it}.ckpt" \
+            --set pretrained="demo_sp_ctl/demo_sp_ctl_${it}.ckpt" \
             --mode descriptors --k-points 1000 \
-            --json-out docs/evidence/quality_r4.jsonl
+            --json-out docs/evidence/quality_r5.jsonl
         python tools/fill_quality_table.py ;;
     nerf_data)
-        python demo/make_nerf_scenes.py ;;
+        # round 5: matched data scale (VERDICT r4 #1) — 16 scenes
+        python demo/make_nerf_scenes.py --n-scenes 16 ;;
     nerf)
-        python demo/run_nerf_leg.py ;;
+        # 60 rendered training views/scene (16 x 60 = 960-view corpus)
+        # test views match render_gt_test_views' count so per-index
+        # NeRF-vs-GT PSNR (tools/nerf_test_psnr.py) compares same poses
+        python demo/run_nerf_leg.py --n-train-views 60 --n-test-views 12 ;;
     nerf_export)
-        for s in demo_scene00 demo_scene01 demo_scene02 demo_scene03; do
+        for s in $(ls "$SPNERF_ROOT/data/NeRF_gt" 2>/dev/null); do
             python -m spnerf_tpu.cli --config-path demo/configs/nerf_export_demo.yaml \
                 --task export_NeRF_labels \
                 --set data.data_dir="$s" \
                 --set data.experiment_name="demo_export_NeRF/$s"
         done ;;
     nerf_sp)
-        train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf 20000 \
+        # SPNERF_SP_TARGET extends the leg past the config's 20k
+        # (orchestrator round-5 open-ended depth stages)
+        train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf \
+            "${SPNERF_SP_TARGET:-20000}" \
+            --set train.num_iters="${SPNERF_SP_TARGET:-20000}" \
             --train-nerf --nerf-loss ;;
+    link)
+        python demo/link_rendered_corpus.py ;;
+    ctl_export)
+        # HA pseudo-labels over the SAME rendered views (control arm)
+        python -m spnerf_tpu.cli --config-path demo/configs/coco_export_ctl.yaml \
+            --task export_pseudo_labels --split training ;;
+    ctl_sp)
+        # matched-corpus homography control: same corpus + iteration
+        # budget as the NeRF arm, homography-pair supervision
+        train_leg demo/configs/superpoint_ctl_demo.yaml demo_sp_ctl \
+            "${SPNERF_SP_TARGET:-20000}" \
+            --set train.num_iters="${SPNERF_SP_TARGET:-20000}" ;;
     pose)
-        # three-row table (VERDICT r2/r3 #1): NeRF-supervised vs
-        # homography at matched iters vs homography latest; JSON lines
-        # land in docs/evidence/ so numbers are committed, not quoted.
-        # Rows are independent: whichever checkpoints exist are scored,
-        # so the homography rows land even before the NeRF leg trains.
-        python demo/render_gt_test_views.py   # idempotent, host-only
-        local out=docs/evidence/pose_auc_results.jsonl
-        local it_nerf it_sp
-        it_nerf=$(latest_iter demo_sp_nerf)
-        it_sp=$(latest_iter demo_sp)
-        if [ -n "$it_nerf" ]; then
-            echo "== pose AUC: NeRF-supervised SuperPoint (iter $it_nerf) =="
+        # matched-corpus pose table (VERDICT r4 #1): checkpoint sweep
+        # for BOTH arms every 2k (the stability-std protocol from r4)
+        # plus the SIFT calibration row. Rows are idempotent (skipped
+        # when the checkpoint tag is already in the jsonl), so this leg
+        # re-runs cheaply after each train leg finishes.
+        python demo/render_gt_test_views.py --n-test-views 12
+        local out=docs/evidence/pose_auc_r5.jsonl
+        pose_row() {
+            local ckpt="$1/$1_$2.ckpt"
+            [ -f "$SPNERF_ROOT/ckpts/$ckpt" ] || return 0
+            grep -q "\"$ckpt\"" "$out" 2>/dev/null && return 0
+            echo "== pose AUC: $ckpt =="
             python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-                --set pretrained="demo_sp_nerf/demo_sp_nerf_${it_nerf}.ckpt" \
-                --json-out "$out"
-            if [ -f "$SPNERF_ROOT/ckpts/demo_sp/demo_sp_${it_nerf}.ckpt" ]; then
-                echo "== pose AUC: homography SuperPoint (matched iters $it_nerf) =="
-                python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-                    --set pretrained="demo_sp/demo_sp_${it_nerf}.ckpt" \
-                    --json-out "$out"
-            fi
-        else
-            echo "== pose AUC: no demo_sp_nerf checkpoint yet, skipping row =="
+                --set pretrained="$ckpt" --json-out "$out"
+        }
+        if ! grep -q "baseline/sift" "$out" 2>/dev/null; then
+            python tools/pose_baseline_classical.py --feature sift \
+                --config-path demo/configs/pose_demo.yaml --json-out "$out"
         fi
-        if [ -n "$it_sp" ]; then
-            echo "== pose AUC: homography SuperPoint (latest $it_sp) =="
-            python -m spnerf_tpu.eval.pose --config-path demo/configs/pose_demo.yaml \
-                --set pretrained="demo_sp/demo_sp_${it_sp}.ckpt" \
-                --json-out "$out"
-        fi
+        local it
+        for it in $(seq 2000 2000 60000); do
+            pose_row demo_sp_nerf "$it"
+            pose_row demo_sp_ctl "$it"
+        done
+        # any later checkpoints (extended legs) get rows too
+        pose_row demo_sp_nerf "$(latest_iter demo_sp_nerf)"
+        pose_row demo_sp_ctl "$(latest_iter demo_sp_ctl)"
         # novel-view quality of the NeRF renders on the eval arc (no-op
         # until the nerf leg has rendered the test split)
-        python tools/nerf_test_psnr.py | tee -a docs/evidence/nerf_test_psnr_r4.jsonl
+        python tools/nerf_test_psnr.py | tee -a docs/evidence/nerf_test_psnr_r5.jsonl
         python tools/fill_pose_table.py ;;
     esac
 }
 
 if [ "$LEG" = all ]; then
-    for l in data mp export sp eval nerf_data nerf nerf_export nerf_sp pose; do
+    # round-5 default chain: the matched-corpus two-arm experiment
+    # (export/sp remain runnable individually for the 5k-corpus legs)
+    for l in data mp nerf_data nerf nerf_export link ctl_export \
+             nerf_sp ctl_sp pose eval; do
         run_leg "$l"
     done
 else

@@ -561,8 +561,8 @@ def pack_field_params(params, width: int):
 
 
 def _kernel_packed(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref,
-                   w2_ref, w3_ref, out_ref, depth_ref, enc_scr, h_scr,
-                   head_scr, rgb_scr, dep_scr, tau_scr, *, n_rows,
+                   w2_ref, w3_ref, out_ref, enc_scr, h_scr,
+                   head_scr, rgb_scr, tau_scr, *, n_rows,
                    s_chunk, pack, dt, near, block, early_stop_eps):
     """k-packed twin of ``_kernel``: each lane row carries ``pack``
     consecutive samples (group g in lanes gW..(g+1)W-1). The encoding
@@ -603,7 +603,6 @@ def _kernel_packed(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref,
     mm = enc_scr.dtype
 
     rgb_scr[...] = jnp.zeros((R, HID), jnp.float32)
-    dep_scr[...] = jnp.zeros((R, 1), jnp.float32)
     tau_scr[...] = jnp.zeros((R, 1), jnp.float32)  # accumulated optical depth
     # any-ray-live threshold in tau space: T = exp(-tau) > eps
     tau_cut = (np.inf if early_stop_eps <= 0.0
@@ -645,6 +644,11 @@ def _kernel_packed(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref,
     # sum channel c of every sample into output lane c
     r, q = _iota2(3 * S, HID)
     dmat = (q == r % 3).astype(jnp.float32)
+    # depth accumulates into output LANE 3 of the same scratch (one
+    # packed (R, HID) output instead of two — the two full-width f32
+    # outputs were ~30% of the kernel's structural floor, measured)
+    r, q = _iota2(S, HID)
+    dep_mat = (q == 3).astype(jnp.float32)
     ones_s = jnp.ones((S, 1), jnp.float32)
 
     for ci in range(n_rows // s_chunk):
@@ -693,23 +697,26 @@ def _kernel_packed(jit_ref, flag_ref, oe_ref, de_ref, df_ref, w1_ref,
             e2 = e1 * jnp.exp(-sig)              # T after sample j
             w = e1 - e2                          # == T_j * alpha_j
 
-            # depth: sum_j w_j t_j with t_j = near + (j0+j+jitter)*dt
-            jvec = jax.lax.broadcasted_iota(jnp.float32, (1, S), 1)
+            # depth: sum_j w_j t_j with t_j = near + (j0+j+jitter)*dt,
+            # accumulated into output lane 3 via dep_mat
+            # (int iota + cast: Mosaic rejects float tpu.iota results)
+            jvec = jax.lax.broadcasted_iota(
+                jnp.int32, (1, S), 1).astype(jnp.float32)
             tvec = near + (j0 + jvec + jitter) * dt
-            dep_scr[...] = dep_scr[...] + jnp.dot(
-                w * tvec, ones_s, preferred_element_type=jnp.float32)
             tau_scr[...] = tau + jnp.dot(
                 sig, ones_s, preferred_element_type=jnp.float32)
 
             # rgb: weight each sample's sigmoid'd channels, sum into
-            # output lanes 0..2 with one matmul
+            # output lanes 0..2 with one matmul; depth into lane 3
             wrep = jnp.dot(w, rep, preferred_element_type=jnp.float32)
             p = jax.nn.sigmoid(rgbl) * wrep
-            rgb_scr[...] = rgb_scr[...] + jnp.dot(
-                p, dmat, preferred_element_type=jnp.float32)
+            rgb_scr[...] = (rgb_scr[...]
+                            + jnp.dot(p, dmat,
+                                      preferred_element_type=jnp.float32)
+                            + jnp.dot(w * tvec, dep_mat,
+                                      preferred_element_type=jnp.float32))
 
     out_ref[...] = rgb_scr[...]
-    depth_ref[...] = jnp.broadcast_to(dep_scr[...], (R, HID))
 
 
 @functools.partial(
@@ -777,7 +784,7 @@ def render_fused_packed(
         early_stop_eps=float(early_stop_eps),
     )
     jit_arr = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
-    rgb_w, depth_w = pl.pallas_call(
+    out_w = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -797,16 +804,9 @@ def render_fused_packed(
             pl.BlockSpec((HID, HID), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block, HID), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, HID), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
-            jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((block, HID), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N + pad, HID), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block * s_chunk, ENC), w1p.dtype),
             pltpu.VMEM((block * s_chunk, HID), w1p.dtype),
@@ -814,7 +814,6 @@ def render_fused_packed(
             # gather sigma/rgb lanes read it as an MXU operand
             pltpu.VMEM((block * s_chunk, HID), w1p.dtype),
             pltpu.VMEM((block, HID), jnp.float32),
-            pltpu.VMEM((block, 1), jnp.float32),
             pltpu.VMEM((block, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -828,7 +827,8 @@ def render_fused_packed(
     )(jit_arr, jnp.asarray(flags, jnp.int32), oe_pk, de_pk, df_pk,
       w1p, w2p, w3p)
 
-    # the in-kernel D matmul already sums every sample into lanes 0..2
-    rgb = rgb_w[:N, 0:3]
-    depth = depth_w[:N, 0]
+    # the in-kernel D matmuls already sum every sample into lanes 0..2
+    # (rgb) and lane 3 (depth) of the single packed output
+    rgb = out_w[:N, 0:3]
+    depth = out_w[:N, 3]
     return rgb, depth

@@ -45,7 +45,7 @@ def test_json_out_appends_tagged_record(tmp_path, monkeypatch):
     assert recs[0]["repeatability"] == 0.5
 
 
-def test_fill_quality_table_rewrites_r4_rows(tmp_path, monkeypatch):
+def test_fill_quality_table_rewrites_r5_rows(tmp_path, monkeypatch):
     import json
 
     import tools.fill_quality_table as fq
@@ -54,8 +54,8 @@ def test_fill_quality_table_rewrites_r4_rows(tmp_path, monkeypatch):
     doc.write_text(
         "| round | repeatability | h-correctness | matching score |\n"
         "|---|---|---|---|\n"
-        "| r2 (a) | 0.5 | 0.6 | 0.4 |\n"
-        "| r4 (stale) | 0.0 | 0.0 | 0.0 |\n")
+        "| r4 (a) | 0.5 | 0.6 | 0.4 |\n"
+        "| r5 (stale) | 0.0 | 0.0 | 0.0 |\n")
     src = tmp_path / "q.jsonl"
     src.write_text(
         json.dumps({"mode": "repeatability", "pretrained": "d/d_9.ckpt",
@@ -69,7 +69,7 @@ def test_fill_quality_table_rewrites_r4_rows(tmp_path, monkeypatch):
     monkeypatch.setattr(fq, "SRC", src)
     fq.main()
     text = doc.read_text()
-    assert "r4 (stale)" not in text
-    assert "| r4 (d_9) | 0.610 [0.600, 0.620] | 0.700 [0.650, 0.750] | " \
+    assert "r5 (stale)" not in text
+    assert "| r5 (d_9) | 0.610 [0.600, 0.620] | 0.700 [0.650, 0.750] | " \
            "0.500 [0.450, 0.550] |" in text
-    assert text.index("r2 (a)") < text.index("r4 (d_9)")
+    assert text.index("r4 (a)") < text.index("r5 (d_9)")

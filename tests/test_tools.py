@@ -69,23 +69,23 @@ def test_fill_perf_table_syncs_all_rows(tmp_path, monkeypatch):
 
     ev = tmp_path / "docs" / "evidence"
     ev.mkdir(parents=True)
-    doc = ev / "demo_r4_results.md"
+    doc = ev / "demo_r5_results.md"
     doc.write_text(_evidence_doc())
-    (ev / "bench_r4_capture.json").write_text(json.dumps(
+    (ev / "bench_r5_capture.json").write_text(json.dumps(
         {"metric": "superpoint_inference_480x640", "value": 1500.5,
          "unit": "frames/sec", "mode": "int8", "fused_mid": True,
          "fused_tail": True}) + "\n")
-    (ev / "bench_train_r4.jsonl").write_text(
+    (ev / "bench_train_r5.jsonl").write_text(
         json.dumps({"metric": "train_step_magicpoint_b32_240x320",
                     "value": 14.2}) + "\n" +
         json.dumps({"metric": "train_step_superpoint_b4_240x320",
                     "value": 9.8}) + "\n")
-    (ev / "ha_r4_report.jsonl").write_text(
+    (ev / "ha_r5_report.jsonl").write_text(
         json.dumps({"metric": "ha_export_imgs_per_sec",
                     "label": "bf16_b16", "value": 21.0}) + "\n" +
         json.dumps({"metric": "ha_label_agreement",
                     "label": "bf16_vs_mixed", "exact_iou": 0.93}) + "\n")
-    (ev / "bench_nerf_r4.json").write_text(json.dumps(
+    (ev / "bench_nerf_r5.json").write_text(json.dumps(
         {"metric": "nerf_render_rays_per_sec", "value": 3.12e7,
          "unit": "rays/sec"}) + "\n")
 
@@ -107,7 +107,7 @@ def test_fill_perf_table_noop_without_captures(tmp_path, monkeypatch):
 
     ev = tmp_path / "docs" / "evidence"
     ev.mkdir(parents=True)
-    doc = ev / "demo_r4_results.md"
+    doc = ev / "demo_r5_results.md"
     doc.write_text(_evidence_doc())
     monkeypatch.setattr(fp, "EV", ev)
     monkeypatch.setattr(fp, "DOC", doc)

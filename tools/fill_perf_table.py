@@ -1,4 +1,4 @@
-"""Sync the "Perf captures this round" table in demo_r4_results.md from
+"""Sync the "Perf captures this round" table in demo_r5_results.md from
 the capture files the orchestrator writes, so committed evidence and the
 human-readable doc cannot drift (same contract as fill_pose_table.py).
 
@@ -10,7 +10,7 @@ import re
 from pathlib import Path
 
 EV = Path("docs/evidence")
-DOC = EV / "demo_r4_results.md"
+DOC = EV / "demo_r5_results.md"
 
 
 def last_json_line(path: Path):
@@ -29,7 +29,7 @@ def last_json_line(path: Path):
 
 
 def bench_cell():
-    r = last_json_line(EV / "bench_r4_capture.json")
+    r = last_json_line(EV / "bench_r5_capture.json")
     if not r or "value" not in r:
         return None
     return (f"**{r['value']:,.0f} fps** ({r.get('mode', '?')}, "
@@ -37,7 +37,7 @@ def bench_cell():
 
 
 def train_cells():
-    path = EV / "bench_train_r4.jsonl"
+    path = EV / "bench_train_r5.jsonl"
     cells = {}
     if not path.exists():
         return cells
@@ -56,7 +56,7 @@ def train_cells():
 
 
 def ha_cells():
-    path = EV / "ha_r4_report.jsonl"
+    path = EV / "ha_r5_report.jsonl"
     rates, ious = {}, {}
     if not path.exists():
         return None
@@ -91,7 +91,7 @@ def ha_cells():
 
 
 def nerf_cell():
-    r = last_json_line(EV / "bench_nerf_r4.json")
+    r = last_json_line(EV / "bench_nerf_r5.json")
     if not r or "value" not in r:
         return None
     v = r["value"]
@@ -105,7 +105,7 @@ def nerf_cell():
 
 
 def replace_cell(doc: str, row_key: str, cell: str) -> str:
-    """Replace the 'round 4' column (3rd cell) of the row whose first
+    """Replace the 'round 5 column (3rd cell) of the row whose first
     cell contains row_key."""
     lines = doc.splitlines()
     for i, line in enumerate(lines):

@@ -1,5 +1,5 @@
-"""Render docs/evidence/pose_auc_results.jsonl as the markdown table in
-docs/evidence/demo_r4_results.md (keeps committed evidence and the
+"""Render docs/evidence/pose_auc_r5.jsonl as the markdown table in
+docs/evidence/demo_r5_results.md (keeps committed evidence and the
 human-readable doc in sync; last row per checkpoint tag wins).
 
 Usage: python tools/fill_pose_table.py
@@ -9,8 +9,8 @@ import json
 import re
 from pathlib import Path
 
-DOC = Path("docs/evidence/demo_r4_results.md")
-SRC = Path("docs/evidence/pose_auc_results.jsonl")
+DOC = Path("docs/evidence/demo_r5_results.md")
+SRC = Path("docs/evidence/pose_auc_r5.jsonl")
 
 
 def fmt(row, key):
@@ -22,6 +22,9 @@ def fmt(row, key):
 
 
 def main():
+    if not SRC.exists():
+        print(f"{SRC} not captured yet; nothing to fill")
+        return
     rows = {}
     with open(SRC) as f:
         for line in f:

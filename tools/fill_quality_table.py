@@ -1,8 +1,8 @@
-"""Sync the "Quality movement" table in demo_r4_results.md from
-docs/evidence/quality_r4.jsonl (written by eval/on_the_fly --json-out).
+"""Sync the "Quality movement" table in demo_r5_results.md from
+docs/evidence/quality_r5.jsonl (written by eval/on_the_fly --json-out).
 
 Pairs up the newest repeatability and descriptors records per
-checkpoint and rewrites the r4 rows (the r2 row is a fixed historical
+checkpoint and rewrites the r5 rows (the r4 row is a fixed historical
 anchor). Same keep-doc-and-evidence-in-sync contract as
 fill_pose_table.py / fill_perf_table.py.
 
@@ -13,8 +13,8 @@ import json
 import re
 from pathlib import Path
 
-DOC = Path("docs/evidence/demo_r4_results.md")
-SRC = Path("docs/evidence/quality_r4.jsonl")
+DOC = Path("docs/evidence/demo_r5_results.md")
+SRC = Path("docs/evidence/quality_r5.jsonl")
 
 
 def fmt(rec, key):
@@ -46,7 +46,7 @@ def main():
         des = recs.get("descriptors", {})
         name = tag.rsplit("/", 1)[-1].replace(".ckpt", "")
         rows.append(
-            f"| r4 ({name}) | {fmt(rep, 'repeatability')} | "
+            f"| r5 ({name}) | {fmt(rep, 'repeatability')} | "
             f"{fmt(des, 'correctness')} | {fmt(des, 'matching_score')} |")
     if not rows:
         print("no parseable quality rows")
@@ -56,18 +56,18 @@ def main():
     lines = doc.splitlines()
     out, inserted = [], False
     for line in lines:
-        if line.startswith("| r4 ("):
+        if line.startswith("| r5 ("):
             if not inserted:
                 out.extend(rows)
                 inserted = True
             continue  # drop stale r4 rows
         out.append(line)
-        if line.startswith("| r2 (") and not inserted:
+        if line.startswith("| r4 (") and not inserted:
             # insert right after the anchor row if no r4 rows existed
             out.extend(rows)
             inserted = True
     DOC.write_text("\n".join(out) + ("\n" if doc.endswith("\n") else ""))
-    print(f"wrote {len(rows)} r4 quality rows")
+    print(f"wrote {len(rows)} r5 quality rows")
 
 
 if __name__ == "__main__":
