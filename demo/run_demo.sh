@@ -132,7 +132,8 @@ run_leg() {
         # novel-view quality of the NeRF renders on the eval arc (no-op
         # until the nerf leg has rendered the test split)
         python tools/nerf_test_psnr.py | tee -a docs/evidence/nerf_test_psnr_r5.jsonl
-        python tools/fill_pose_table.py ;;
+        python tools/fill_pose_table.py
+        python tools/pose_stability.py ;;
     esac
 }
 

@@ -76,6 +76,7 @@ stage() {
 sync_evidence() {
     python tools/fill_perf_table.py || true
     python tools/fill_pose_table.py || true
+    python tools/pose_stability.py || true
     cp -f "$LOG" docs/evidence/r5_orch_log.txt 2>/dev/null || true
     git add docs/evidence 2>/dev/null
     git diff --cached --quiet || git commit -q -m "r5 orchestrator: sync captured evidence
