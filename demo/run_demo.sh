@@ -47,8 +47,8 @@ run_leg() {
     data)
         python demo/make_standin_data.py ;;
     mp)
-        train_leg demo/configs/magicpoint_syn_demo.yaml demo_mp 25000 \
-            --validate-training ;;
+        train_leg demo/configs/magicpoint_syn_demo.yaml demo_mp 15000 \
+            --set train.num_iters=15000 --validate-training ;;
     export)
         python -m spnerf_tpu.cli --config-path demo/configs/coco_export_demo.yaml \
             --task export_pseudo_labels --split training ;;
@@ -86,8 +86,8 @@ run_leg() {
         # SPNERF_SP_TARGET extends the leg past the config's 20k
         # (orchestrator round-5 open-ended depth stages)
         train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf \
-            "${SPNERF_SP_TARGET:-20000}" \
-            --set train.num_iters="${SPNERF_SP_TARGET:-20000}" \
+            "${SPNERF_SP_TARGET:-12000}" \
+            --set train.num_iters="${SPNERF_SP_TARGET:-12000}" \
             --train-nerf --nerf-loss ;;
     link)
         python demo/link_rendered_corpus.py ;;
@@ -99,8 +99,8 @@ run_leg() {
         # matched-corpus homography control: same corpus + iteration
         # budget as the NeRF arm, homography-pair supervision
         train_leg demo/configs/superpoint_ctl_demo.yaml demo_sp_ctl \
-            "${SPNERF_SP_TARGET:-20000}" \
-            --set train.num_iters="${SPNERF_SP_TARGET:-20000}" ;;
+            "${SPNERF_SP_TARGET:-12000}" \
+            --set train.num_iters="${SPNERF_SP_TARGET:-12000}" ;;
     pose)
         # matched-corpus pose table (VERDICT r4 #1): checkpoint sweep
         # for BOTH arms every 2k (the stability-std protocol from r4)
