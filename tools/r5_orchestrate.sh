@@ -102,11 +102,11 @@ stage nerf        6 16000 bash demo/run_demo.sh nerf
 stage gt_views    2 3600  python demo/render_gt_test_views.py --n-test-views 12
 stage nerf_export 6 10800 bash demo/run_demo.sh nerf_export
 stage link        2 600   bash demo/run_demo.sh link
-stage ctl_export  4 7200  bash demo/run_demo.sh ctl_export
 sync_evidence
 stage nerf_sp 8 10800 bash demo/run_demo.sh nerf_sp
 stage pose_a  3 10800 bash demo/run_demo.sh pose
 sync_evidence
+stage ctl_export  4 7200  bash demo/run_demo.sh ctl_export
 stage ctl_sp  8 10800 bash demo/run_demo.sh ctl_sp
 stage pose_b  3 10800 bash demo/run_demo.sh pose
 stage live_steps 2 600 python tools/live_steps.py
