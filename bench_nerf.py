@@ -7,7 +7,9 @@ Pallas renderer (kernels/render_pallas.render_fused_packed) at width
 32 — 4 samples per 128-lane row, single packed rgb+depth output,
 triangular-matmul transmittance prefix — quality-gated at 39.5 dB
 through the same kernel (benchmarks/nerf_quality_sphere.py --width 32).
-Round-5 capture: 25.2M rays/s vs 15.4M for the width-128 dense kernel.
+Round-5 capture: 26.3M rays/s vs 15.2M for the width-128 dense kernel
+(docs/PERF.md round-5 stage budget: MLP term scales exactly 1/pack;
+the 28.6 ns/ray non-MLP floor caps packing at ~35M on this chip).
 Also reported: w128 dense / early-stop (the round-4 production mode,
 at its bf16 MXU speed of light per docs/PERF.md), packed-w64,
 occupancy chunk-skipping (in-loop and cached-flag variants; only pays
