@@ -26,6 +26,9 @@ latest_iter() {
 }
 
 # train_leg <config> <ckpt_name> <target_iters> [extra args...]
+# Resume args go LAST: --set overrides apply in order (last wins), so a
+# leg may pass a dynamic seed (--set pretrained=<mp ckpt>) in "$@" and
+# an in-progress run still resumes from its own latest checkpoint.
 train_leg() {
     local cfg="$1" name="$2" target="$3"; shift 3
     local it; it=$(latest_iter "$name")
@@ -39,7 +42,16 @@ train_leg() {
                 --set continue_training=True)
     fi
     python -m spnerf_tpu.cli --config-path "$cfg" --task train \
-        "${resume[@]}" "$@"
+        "$@" "${resume[@]}"
+}
+
+# Latest MagicPoint checkpoint as the SuperPoint/export seed. The demo
+# configs name the full-budget 15k checkpoint; when a wall-clock-cut
+# run trains MagicPoint to a smaller target (SPNERF_MP_TARGET), every
+# downstream leg follows whatever checkpoint actually exists.
+mp_seed() {
+    local it; it=$(latest_iter demo_mp)
+    [ -n "$it" ] && echo "demo_mp/demo_mp_${it}.ckpt"
 }
 
 run_leg() {
@@ -47,8 +59,13 @@ run_leg() {
     data)
         python demo/make_standin_data.py ;;
     mp)
-        train_leg demo/configs/magicpoint_syn_demo.yaml demo_mp 15000 \
-            --set train.num_iters=15000 --validate-training ;;
+        # SPNERF_MP_TARGET trims the base-detector budget when the
+        # round's remaining wall-clock can't afford the full 15k;
+        # SPNERF_MP_VALIDATE=0 skips the per-interval validation pass
+        local mp_tgt="${SPNERF_MP_TARGET:-15000}" mp_val=()
+        [ "${SPNERF_MP_VALIDATE:-1}" = 1 ] && mp_val=(--validate-training)
+        train_leg demo/configs/magicpoint_syn_demo.yaml demo_mp "$mp_tgt" \
+            --set train.num_iters="$mp_tgt" "${mp_val[@]}" ;;
     export)
         python -m spnerf_tpu.cli --config-path demo/configs/coco_export_demo.yaml \
             --task export_pseudo_labels --split training ;;
@@ -68,17 +85,20 @@ run_leg() {
             --json-out docs/evidence/quality_r5.jsonl
         python tools/fill_quality_table.py ;;
     nerf_data)
-        # round 5: matched data scale (VERDICT r4 #1) — 16 scenes
-        python demo/make_nerf_scenes.py --n-scenes 16 ;;
+        # round 5: matched data scale (VERDICT r4 #1); SPNERF_N_SCENES
+        # scales the corpus to the remaining chip budget
+        python demo/make_nerf_scenes.py --n-scenes "${SPNERF_N_SCENES:-16}" ;;
     nerf)
-        # 60 rendered training views/scene (16 x 60 = 960-view corpus)
-        # test views match render_gt_test_views' count so per-index
+        # rendered training views/scene (scenes x views corpus); test
+        # views match render_gt_test_views' count so per-index
         # NeRF-vs-GT PSNR (tools/nerf_test_psnr.py) compares same poses
-        python demo/run_nerf_leg.py --n-train-views 60 --n-test-views 12 ;;
+        python demo/run_nerf_leg.py \
+            --n-train-views "${SPNERF_N_TRAIN_VIEWS:-60}" --n-test-views 12 ;;
     nerf_export)
         for s in $(ls "$SPNERF_ROOT/data/NeRF_gt" 2>/dev/null); do
             python -m spnerf_tpu.cli --config-path demo/configs/nerf_export_demo.yaml \
                 --task export_NeRF_labels \
+                --set pretrained="$(mp_seed)" \
                 --set data.data_dir="$s" \
                 --set data.experiment_name="demo_export_NeRF/$s"
         done ;;
@@ -88,19 +108,22 @@ run_leg() {
         train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf \
             "${SPNERF_SP_TARGET:-12000}" \
             --set train.num_iters="${SPNERF_SP_TARGET:-12000}" \
+            --set pretrained="$(mp_seed)" \
             --train-nerf --nerf-loss ;;
     link)
         python demo/link_rendered_corpus.py ;;
     ctl_export)
         # HA pseudo-labels over the SAME rendered views (control arm)
         python -m spnerf_tpu.cli --config-path demo/configs/coco_export_ctl.yaml \
-            --task export_pseudo_labels --split training ;;
+            --task export_pseudo_labels --split training \
+            --set pretrained="$(mp_seed)" ;;
     ctl_sp)
         # matched-corpus homography control: same corpus + iteration
         # budget as the NeRF arm, homography-pair supervision
         train_leg demo/configs/superpoint_ctl_demo.yaml demo_sp_ctl \
             "${SPNERF_SP_TARGET:-12000}" \
-            --set train.num_iters="${SPNERF_SP_TARGET:-12000}" ;;
+            --set train.num_iters="${SPNERF_SP_TARGET:-12000}" \
+            --set pretrained="$(mp_seed)" ;;
     pose)
         # matched-corpus pose table (VERDICT r4 #1): checkpoint sweep
         # for BOTH arms every 2k (the stability-std protocol from r4)
