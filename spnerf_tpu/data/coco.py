@@ -53,6 +53,28 @@ class COCO:
         truncate = self.config.get("truncate")
         if truncate:
             image_paths = image_paths[: int(truncate * len(image_paths))]
+        # multi-process export sharding: "auto" -> this jax process's
+        # contiguous block, or an explicit [k, n]. Contiguous blocks
+        # (not strides) keep every image's GLOBAL dataset index — and
+        # therefore its fold_in(seed, index) warp keys — identical to
+        # the unsharded enumeration, so the merged multi-process
+        # artifact set is bit-identical to a single-process export.
+        # ``shard_offset`` is the block's global start index; consumers
+        # (tasks/export.py) seed their image cursor from it.
+        self.shard_offset = 0
+        shard = self.config.get("shard")
+        if shard:
+            if shard == "auto":
+                import jax
+
+                k, n = jax.process_index(), jax.process_count()
+            else:
+                k, n = int(shard[0]), int(shard[1])
+            if not 0 <= k < n:
+                raise ValueError(f"bad shard {shard}")
+            starts = [round(i * len(image_paths) / n) for i in range(n + 1)]
+            self.shard_offset = starts[k]
+            image_paths = image_paths[starts[k]:starts[k + 1]]
         names = [p.stem for p in image_paths]
         files = {"image_paths": [str(p) for p in image_paths], "names": names}
         if self.config.get("has_labels"):

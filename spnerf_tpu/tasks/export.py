@@ -191,7 +191,12 @@ def export_pseudo_labels(
 
     key = jax.random.PRNGKey(seed)
     pending = None  # 1-deep software pipeline: host IO overlaps device HA
-    img_seen = 0  # global image cursor: keys are fold_in(key, index)
+    # global image cursor: keys are fold_in(key, index). A sharded
+    # dataset (data.shard, multi-process export) starts the cursor at
+    # its contiguous block's global offset so every image keeps the
+    # same key it would get in a single-process run.
+    img_seen = int(getattr(getattr(loader, "dataset", None),
+                           "shard_offset", 0) or 0)
     for bi, batch in enumerate(loader):
         names = batch["name"]
         img = np.asarray(batch["image"])
