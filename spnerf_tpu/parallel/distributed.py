@@ -29,10 +29,16 @@ def maybe_initialize_distributed() -> bool:
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if not coord or not nproc or int(nproc) <= 1:
         return False
+    # Sharded exports have no cross-process sync points until exit, so
+    # shard-duration skew (stragglers, heterogeneous hosts) lands
+    # entirely on the coordination service's shutdown barrier; jax's
+    # 300s default kills every process when one shard runs long.
+    shutdown_s = int(os.environ.get("JAX_SHUTDOWN_TIMEOUT_SECONDS", 300))
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(nproc),
         process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+        shutdown_timeout_seconds=shutdown_s,
     )
     return True
 

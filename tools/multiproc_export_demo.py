@@ -93,6 +93,9 @@ def main() -> None:
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            # both workers share ONE host core here, so shard-finish
+            # skew can exceed jax's 300s default shutdown barrier
+            "JAX_SHUTDOWN_TIMEOUT_SECONDS": "3600",
         })
         procs.append(subprocess.Popen(
             cli_cmd("mp2_shard", args, ("--set", "data.shard=auto")),
