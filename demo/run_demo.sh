@@ -104,11 +104,23 @@ run_leg() {
         done ;;
     nerf_sp)
         # SPNERF_SP_TARGET extends the leg past the config's 20k
-        # (orchestrator round-5 open-ended depth stages)
+        # (orchestrator round-5 open-ended depth stages). The scene
+        # lists are built from the scenes that actually exist (the
+        # config's 16-scene default assumes the full fabrication run;
+        # SPNERF_N_SCENES may have cut it).
+        local scenes dirs labels s
+        scenes=$(ls "$SPNERF_ROOT/data/NeRF" 2>/dev/null)
+        dirs=""; labels=""
+        for s in $scenes; do
+            dirs="$dirs'$s',"
+            labels="$labels'outputs/demo_export_NeRF/$s',"
+        done
         train_leg demo/configs/superpoint_nerf_demo.yaml demo_sp_nerf \
             "${SPNERF_SP_TARGET:-12000}" \
             --set train.num_iters="${SPNERF_SP_TARGET:-12000}" \
             --set pretrained="$(mp_seed)" \
+            --set data.all_data_dirs="[${dirs%,}]" \
+            --set data.all_label_dirs="[${labels%,}]" \
             --train-nerf --nerf-loss ;;
     link)
         python demo/link_rendered_corpus.py ;;
