@@ -149,6 +149,12 @@ def main():
     print(f"wrote {n_pairs} GT pose pairs")
     report_path = Path(DATA_PATH, "NeRF", "nerf_leg_report.json")
     report_path.parent.mkdir(parents=True, exist_ok=True)
+    # merge: resumed runs only process un-rendered scenes, and must not
+    # drop the earlier scenes' rows
+    if report_path.exists():
+        merged = json.loads(report_path.read_text())
+        merged.update(report)
+        report = merged
     with open(report_path, "w") as f:
         json.dump(report, f, indent=1)
 
