@@ -62,12 +62,22 @@ def build_shadow(scene: str, rects) -> Path:
     return shadow
 
 
-def run_export(data_dir: str, experiment: str) -> Path:
+def latest_mp_ckpt() -> str | None:
+    """Latest demo_mp checkpoint (same resolution rule as run_demo.sh
+    mp_seed) so BOTH exports run the identical detector even when the
+    wall-clock-cut MagicPoint leg stopped short of the config's 15k."""
+    ckpts = sorted(Path(EXPER_PATH, "ckpts", "demo_mp").glob("demo_mp_*.ckpt"),
+                   key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+    return f"demo_mp/{ckpts[-1].name}" if ckpts else None
+
+
+def run_export(data_dir: str, experiment: str, pretrained: str) -> Path:
     out_dir = Path(EXPER_PATH, "outputs", experiment, "training")
     if not out_dir.is_dir() or not list(out_dir.glob("*.npy")):
         subprocess.run(
             [sys.executable, "-m", "spnerf_tpu.cli", "--config-path",
              CONFIG, "--task", "export_NeRF_labels",
+             "--set", f"pretrained={pretrained}",
              "--set", f"data.data_dir={data_dir}",
              "--set", f"data.experiment_name={experiment}"],
             check=True)
@@ -96,7 +106,13 @@ def main():
     ap.add_argument("--n-scenes", type=int, default=4)
     ap.add_argument("--json-out",
                     default="docs/evidence/label_fidelity_r5.jsonl")
+    ap.add_argument("--pretrained", default=None,
+                    help="checkpoint for BOTH exports (default: latest "
+                         "demo_mp, matching run_demo.sh mp_seed)")
     args = ap.parse_args()
+    pretrained = args.pretrained or latest_mp_ckpt()
+    if pretrained is None:
+        sys.exit("no demo_mp checkpoint found; train the mp leg first")
 
     gt_root = Path(DATA_PATH, "NeRF_gt")
     scenes = sorted(p.name for p in gt_root.iterdir() if p.is_dir())
@@ -112,10 +128,11 @@ def main():
             continue
         build_shadow(scene, rects)
         ref = run_export(f"{scene}__gtdepth",
-                         f"demo_export_NeRF_gtdepth/{scene}")
-        test = run_export(scene, f"demo_export_NeRF/{scene}")
+                         f"demo_export_NeRF_gtdepth/{scene}", pretrained)
+        test = run_export(scene, f"demo_export_NeRF/{scene}", pretrained)
         iou, w2 = agreement(ref, test)
         row = {"metric": "nerf_depth_label_fidelity", "scene": scene,
+               "pretrained": pretrained,
                "exact_iou": round(iou, 4),
                "within_2px": round(w2, 4) if w2 is not None else None,
                "ref": "gt_raytraced_depth", "test": "nerf_rendered_depth"}
